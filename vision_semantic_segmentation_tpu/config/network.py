@@ -1,0 +1,154 @@
+"""Network training / inference configuration trees.
+
+Mirrors the reference's three composable config roots:
+  * training root        `/root/reference/src/network/deeplab_v3_plus/config/base.py`
+  * DeepLabV3+ overlay   `.../config/deeplab_v3_plus.py`
+  * demo/inference cfg   `.../config/demo.py`
+
+Keys and defaults are kept identical so the reference's YAML experiment
+files merge cleanly; only the values' meanings are reinterpreted for the
+TPU runtime (e.g. ``DATALOADER.PIN_MEMORY`` maps to host->device
+double-buffering instead of CUDA pinned memory).
+"""
+from __future__ import annotations
+
+from .node import CN
+
+DISABLE = 0
+
+
+def _train_base() -> CN:
+    """Training root config (ref config/base.py:18-179)."""
+    _C = CN()
+    _C.TASK_NAME = ""
+    _C.AUTO_RESUME = True
+    _C.RESUME_STATES = True
+
+    _C.MODEL = CN()
+    _C.MODEL.TYPE = ""
+    _C.MODEL.WEIGHT = ""
+    # On TPU, batch norm statistics are computed over the *global* (mesh-wide)
+    # batch inside jit, so SYNC_BN=True is the natural SPMD behavior; when
+    # False we fall back to per-device statistics via a sharded pmean group.
+    _C.MODEL.SYNC_BN = False
+
+    _C.DATASET = CN()
+    _C.DATASET.NAME = ""
+    _C.DATASET.IN_CHANNELS = 0
+    _C.DATASET.NUM_CLASSES = 0
+    _C.DATASET.ROOT_DIR = ""
+    _C.DATASET.TRAIN = ""
+    _C.DATASET.VAL = ""
+    _C.DATASET.TEST = ""
+
+    _C.DATALOADER = CN()
+    _C.DATALOADER.NUM_WORKERS = 0
+    _C.DATALOADER.DROP_LAST = True
+    _C.DATALOADER.PIN_MEMORY = True
+
+    _C.OPTIMIZER = CN()
+    _C.OPTIMIZER.TYPE = ""
+    _C.OPTIMIZER.BASE_LR = 0.001
+    _C.OPTIMIZER.WEIGHT_DECAY = 0.0
+    _C.OPTIMIZER.MAX_GRAD_NORM = DISABLE
+    _C.OPTIMIZER.SGD = CN()
+    _C.OPTIMIZER.SGD.momentum = 0.0
+    _C.OPTIMIZER.SGD.dampening = 0.0
+    _C.OPTIMIZER.SGD.nesterov = False
+    _C.OPTIMIZER.Adam = CN()
+    _C.OPTIMIZER.Adam.betas = (0.9, 0.999)
+
+    _C.SCHEDULER = CN()
+    _C.SCHEDULER.TYPE = ""
+    _C.SCHEDULER.MAX_EPOCH = 1
+    _C.SCHEDULER.CLIP_LR = 0.0
+    _C.SCHEDULER.StepLR = CN()
+    _C.SCHEDULER.StepLR.step_size = 0
+    _C.SCHEDULER.StepLR.gamma = 0.1
+    _C.SCHEDULER.MultiStepLR = CN()
+    _C.SCHEDULER.MultiStepLR.milestones = ()
+    _C.SCHEDULER.MultiStepLR.gamma = 0.1
+    _C.SCHEDULER.PolyLRDecay = CN()
+    _C.SCHEDULER.PolyLRDecay.max_iter = 300
+    _C.SCHEDULER.PolyLRDecay.power = 0.9
+
+    _C.TRAIN = CN()
+    _C.TRAIN.BATCH_SIZE = 1
+    _C.TRAIN.CHECKPOINT_PERIOD = DISABLE
+    _C.TRAIN.LOG_PERIOD = DISABLE
+    _C.TRAIN.AUGMENTATION = ()
+    _C.TRAIN.FROZEN_PATTERNS = ()
+    _C.TRAIN.FREEZE_BATCHNORM = False
+
+    _C.VALIDATE = CN()
+    _C.VALIDATE.BATCH_SIZE = 1
+    _C.VALIDATE.PERIOD = DISABLE
+    _C.VALIDATE.LOG_PERIOD = DISABLE
+    _C.VALIDATE.METRIC = ""
+    _C.VALIDATE.AUGMENTATION = ()
+
+    _C.TEST = CN()
+    _C.TEST.BATCH_SIZE = 1
+    _C.TEST.LOG_PERIOD = DISABLE
+    _C.TEST.WEIGHT = ""
+    _C.TEST.AUGMENTATION = ()
+
+    _C.OUTPUT_DIR = "@"
+    _C.RNG_SEED = -1
+    return _C
+
+
+def _add_deeplab(cfg: CN) -> CN:
+    """DeepLabV3+ overlay (ref config/deeplab_v3_plus.py:7-34)."""
+    cfg.DATASET.IN_CHANNELS = 3
+    cfg.DATASET.NUM_CLASSES = 21
+    cfg.MODEL.TYPE = "DeepLabv3+"
+    cfg.MODEL.BACKBONE = "resnet"
+    cfg.MODEL.OUTPUT_STRIDE = 16
+    cfg.MODEL.ASPP = CN()
+    cfg.MODEL.ASPP.OUT_CHANNELS = 256
+    cfg.MODEL.ASPP.ATROUS_CHANNELS = [256, 256, 256, 256]
+    cfg.MODEL.ASPP.ATROUS_KERNEL_SIZE = [1, 3, 3, 3]
+    cfg.MODEL.ASPP.ATROUS_DILATION = [1, 6, 12, 18]
+    cfg.MODEL.ASPP.DROPOUT = 0.5
+    cfg.MODEL.DECODER = CN()
+    cfg.MODEL.DECODER.LOW_LEVEL_OUT_CHANNELS = 48
+    cfg.MODEL.DECODER.REFINE_CHANNELS = [256, 256]
+    cfg.MODEL.DECODER.REFINE_KERNEL_SIZE = [3, 3]
+    return cfg
+
+
+def get_train_cfg_defaults() -> CN:
+    """Full training config (base + DeepLab overlay)."""
+    return _add_deeplab(_train_base()).clone()
+
+
+def get_demo_cfg_defaults() -> CN:
+    """Inference/demo config (ref config/demo.py:8-44)."""
+    _C = CN()
+    _C.OUTPUT_DIR = "@"
+    _C.OUTPUT_NAME = ""
+    _C.TRAIN_DATASET = ""
+    _C.DATASET_CONFIG = ""
+
+    _C.DATASET = CN()
+    _C.DATASET.NAME = ""
+    _C.DATASET.IN_CHANNELS = 0
+    _C.DATASET.NUM_CLASSES = 0
+    _C.DATASET.ROOT_DIR = ""
+
+    _C.MODEL = CN()
+    _C.MODEL.TYPE = ""
+    _C.MODEL.WEIGHT = ""
+    _C.MODEL.SYNC_BN = False
+
+    deeplab = get_train_cfg_defaults()
+    _C.MODEL.BACKBONE = deeplab.MODEL.BACKBONE
+    _C.MODEL.OUTPUT_STRIDE = deeplab.MODEL.OUTPUT_STRIDE
+    _C.MODEL.ASPP = deeplab.MODEL.ASPP.clone()
+    _C.MODEL.DECODER = deeplab.MODEL.DECODER.clone()
+
+    # TPU-specific inference knobs (no reference equivalent): compute dtype
+    # for the conv path and static input bucketing to avoid recompiles.
+    _C.MODEL.COMPUTE_DTYPE = "bfloat16"
+    return _C
