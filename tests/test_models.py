@@ -1,0 +1,273 @@
+"""Model numerics tests: parity with torch oracles via the weight converter.
+
+Oracles: torchvision backbones (third-party) and the reference repo's own
+torch ASPP/Decoder modules imported read-only from /root/reference (never
+copied) — converted weights must reproduce their outputs.
+"""
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import torch
+
+sys.path.insert(0, "/root/reference/src/network")
+
+from vision_semantic_segmentation_tpu.models import (
+    ASPP,
+    Decoder,
+    DeepLabV3Plus,
+    MeanIOU,
+    ResNetBackbone,
+    Xception65,
+    build_backbone,
+    build_model,
+    cross_entropy_loss,
+    load_npz,
+    save_npz,
+    torch_state_dict_to_flax,
+)
+from vision_semantic_segmentation_tpu.config import get_cfg_defaults, get_demo_cfg_defaults
+
+
+def _nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+
+
+def _to_nhwc(t: torch.Tensor) -> np.ndarray:
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+class TestBackboneParity:
+    @pytest.mark.parametrize(
+        "name,dilation",
+        [
+            ("resnet18", (False, False, False)),
+            ("resnet50", (False, True, True)),
+            ("resnext50_32x4d", (False, True, True)),
+        ],
+    )
+    def test_matches_torch_oracle(self, rng, name, dilation):
+        from torch_oracle import make_oracle
+
+        torch.manual_seed(3)
+        tv_model = make_oracle(name, dilation)
+        tv_model.eval()
+        variables = jax.tree.map(
+            jnp.asarray, torch_state_dict_to_flax(tv_model.state_dict())
+        )
+
+        os = 8 if dilation[1] else (16 if dilation[2] else 32)
+        model = build_backbone(name, os)
+        x = rng.standard_normal((1, 65, 65, 3)).astype(np.float32)
+
+        out = model.apply(variables, jnp.asarray(x), train=False)
+
+        with torch.no_grad():
+            feat_ref, low_ref = tv_model(_nchw(x))
+
+        np.testing.assert_allclose(
+            np.asarray(out["low_feature"]), _to_nhwc(low_ref), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["feature"]), _to_nhwc(feat_ref), atol=2e-3
+        )
+
+
+class TestASPPParity:
+    def test_matches_reference_torch(self, rng):
+        from deeplab_v3_plus.models.aspp import AtrousSpatialPyramidPoolingModule
+
+        torch.manual_seed(0)
+        ref = AtrousSpatialPyramidPoolingModule(
+            in_channels=64, out_channels=32,
+            atrous_channels=(32, 32, 32, 32), atrous_kernel_size=(1, 3, 3, 3),
+            atrous_dilation=(1, 2, 4, 6), dropout=0.5,
+        )
+        ref.eval()
+        variables = jax.tree.map(jnp.asarray, torch_state_dict_to_flax(ref.state_dict()))
+
+        model = ASPP(out_channels=32, atrous_channels=(32, 32, 32, 32),
+                     atrous_kernel_size=(1, 3, 3, 3), atrous_dilation=(1, 2, 4, 6))
+        x = rng.standard_normal((2, 17, 19, 64)).astype(np.float32)
+        ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+        with torch.no_grad():
+            theirs = _to_nhwc(ref(_nchw(x)))
+        np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+class TestDecoderParity:
+    def test_matches_reference_torch(self, rng):
+        from deeplab_v3_plus.models.decoder import Decoder as TorchDecoder
+
+        torch.manual_seed(1)
+        ref = TorchDecoder(in_channels=32, out_channels=7,
+                           low_level_in_channels=24, low_level_out_channels=12,
+                           refine_channels=(16, 16), refine_kernel_size=(3, 3))
+        ref.eval()
+        variables = jax.tree.map(jnp.asarray, torch_state_dict_to_flax(ref.state_dict()))
+
+        model = Decoder(out_channels=7, low_level_out_channels=12,
+                        refine_channels=(16, 16), refine_kernel_size=(3, 3))
+        feat = rng.standard_normal((1, 9, 11, 32)).astype(np.float32)
+        low = rng.standard_normal((1, 33, 41, 24)).astype(np.float32)
+        ours = np.asarray(
+            model.apply(variables, jnp.asarray(feat), jnp.asarray(low), train=False)
+        )
+        with torch.no_grad():
+            theirs = _to_nhwc(ref(_nchw(feat), _nchw(low)))
+        assert ours.shape == theirs.shape  # unpadded refine shrink preserved
+        np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+class TestDeepLab:
+    def test_shapes_and_jit(self, rng):
+        model = DeepLabV3Plus(out_channels=19, backbone="resnet18", output_stride=16,
+                              decoder_low_level_out_channels=48)
+        x = jnp.asarray(rng.standard_normal((1, 65, 65, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False, upsample_pred=False))
+        out = fwd(variables, x)
+        # os16 -> low feature at os4 (17x17), minus 4 from unpadded refine convs
+        assert out.shape == (1, 13, 13, 19)
+        out_up = model.apply(variables, x, train=False, upsample_pred=True)
+        assert out_up.shape == (1, 65, 65, 19)
+
+    def test_full_parity_with_composed_torch_oracle(self, rng):
+        """Full forward vs torchvision backbone + reference ASPP/decoder glue.
+
+        Replicates the reference forward wiring (ref deeplab_v3_plus.py:51-71)
+        on the torch side using only third-party + read-only-imported modules.
+        """
+        import torch.nn.functional as F
+        from torch_oracle import make_oracle
+        from deeplab_v3_plus.models.aspp import AtrousSpatialPyramidPoolingModule
+        from deeplab_v3_plus.models.decoder import Decoder as TorchDecoder
+
+        torch.manual_seed(2)
+        tv_backbone = make_oracle("resnet18", (False, True, True))
+        aspp = AtrousSpatialPyramidPoolingModule(
+            in_channels=512, out_channels=64, atrous_channels=(64, 64, 64, 64),
+            atrous_kernel_size=(1, 3, 3, 3), atrous_dilation=(1, 12, 24, 36), dropout=0.5)
+        dec = TorchDecoder(in_channels=64, out_channels=19, low_level_in_channels=64,
+                           low_level_out_channels=48, refine_channels=(64, 64),
+                           refine_kernel_size=(3, 3))
+        for m in (tv_backbone, aspp, dec):
+            m.eval()
+
+        sd = {}
+        sd.update({f"backbone.{k}": v for k, v in tv_backbone.state_dict().items()})
+        sd.update({f"aspp.{k}": v for k, v in aspp.state_dict().items()})
+        sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+        variables = jax.tree.map(jnp.asarray, torch_state_dict_to_flax(sd))
+
+        model = DeepLabV3Plus(
+            out_channels=19, backbone="resnet18", output_stride=8,
+            aspp_out_channels=64, aspp_atrous_channels=(64, 64, 64, 64),
+            decoder_low_level_out_channels=48, decoder_refine_channels=(64, 64))
+
+        x = rng.standard_normal((1, 97, 65, 3)).astype(np.float32)
+        ours = np.asarray(
+            model.apply(variables, jnp.asarray(x), train=False, upsample_pred=True)
+        )
+
+        with torch.no_grad():
+            feat, low = tv_backbone(_nchw(x))
+            feat = aspp(feat)
+            logits = dec(feat, low)
+            logits = F.interpolate(logits, size=(97, 65), mode="bilinear", align_corners=True)
+        np.testing.assert_allclose(ours, _to_nhwc(logits), atol=5e-4)
+
+
+class TestXception:
+    def test_shapes(self, rng):
+        model = Xception65()
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out["feature"].shape[-1] == 2048
+        assert out["low_feature"].shape[-1] == 256
+        # os16 feature, os4 low-level
+        assert out["feature"].shape[1] == 4
+        assert out["low_feature"].shape[1] == 16
+
+
+class TestLoss:
+    def test_matches_torch_ce(self, rng):
+        logits = rng.standard_normal((2, 8, 9, 5)).astype(np.float32)
+        labels = rng.integers(0, 5, (2, 8, 9)).astype(np.int64)
+        labels[0, :3] = 255  # ignored region
+        ours = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels), ignore_index=255))
+        ref = torch.nn.CrossEntropyLoss(ignore_index=255)(
+            _nchw(logits), torch.from_numpy(labels)
+        ).item()
+        assert ours == pytest.approx(ref, rel=1e-5)
+
+    def test_all_ignored(self):
+        logits = jnp.zeros((1, 2, 2, 3))
+        labels = jnp.full((1, 2, 2), 255)
+        assert float(cross_entropy_loss(logits, labels, ignore_index=255)) == 0.0
+
+
+class TestMeanIOU:
+    def test_simple(self):
+        m = MeanIOU(3)
+        preds = jnp.asarray([[0, 1], [2, 2]])
+        labels = jnp.asarray([[0, 1], [2, 0]])
+        m.evaluate(preds, labels)
+        # class0: inter 1, union 2 -> 0.5; class1: 1/1; class2: 1/2
+        assert m.global_avg == pytest.approx((0.5 + 1.0 + 0.5) / 3)
+
+    def test_ignores_255(self):
+        m = MeanIOU(2)
+        preds = jnp.asarray([0, 1, 1])
+        labels = jnp.asarray([0, 255, 1])
+        m.evaluate(preds, labels)
+        assert m.global_avg == pytest.approx(1.0)
+
+    def test_matches_reference_bincount(self, rng):
+        num_class = 7
+        preds = rng.integers(0, num_class, 1000)
+        labels = rng.integers(0, num_class, 1000)
+        labels[::17] = 255
+        m = MeanIOU(num_class)
+        m.evaluate(jnp.asarray(preds), jnp.asarray(labels))
+        mask = (labels >= 0) & (labels < num_class)
+        ref_cm = np.bincount(
+            num_class * labels[mask] + preds[mask], minlength=num_class**2
+        ).reshape(num_class, num_class)
+        np.testing.assert_array_equal(m.confusion_matrix, ref_cm)
+
+
+class TestBuildRegistry:
+    def test_build_deeplab_from_app_cfg(self):
+        cfg = get_cfg_defaults().VISION_SEM_SEG.SEM_SEG_NETWORK
+        net, loss_fn, tm, vm = build_model(cfg)
+        assert isinstance(net, DeepLabV3Plus)
+        assert net.backbone == "resnext50_32x4d"
+        assert net.output_stride == 8
+        assert tm.num_class == 19
+
+    def test_build_dummy(self, rng):
+        cfg = get_demo_cfg_defaults()
+        cfg.MODEL.TYPE = "Dummy"
+        cfg.DATASET.NUM_CLASSES = 4
+        net, *_ = build_model(cfg)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+        variables = net.init(jax.random.PRNGKey(0), x)
+        assert net.apply(variables, x).shape == (1, 16, 16, 4)
+
+
+class TestNpzRoundtrip:
+    def test_save_load(self, rng, tmp_path):
+        tree = {
+            "params": {"a": {"kernel": rng.standard_normal((3, 3, 2, 4)).astype(np.float32)}},
+            "batch_stats": {"a": {"mean": np.zeros(4, np.float32)}},
+        }
+        path = str(tmp_path / "w.npz")
+        save_npz(tree, path)
+        back = load_npz(path)
+        np.testing.assert_array_equal(back["params"]["a"]["kernel"], tree["params"]["a"]["kernel"])
+        np.testing.assert_array_equal(back["batch_stats"]["a"]["mean"], tree["batch_stats"]["a"]["mean"])

@@ -1,0 +1,148 @@
+"""Conv building blocks for the segmentation model family.
+
+flax.linen equivalents of the reference's composite conv modules
+(`/root/reference/src/network/core/nn/modules/conv.py:48-146`): a Conv2d
+with optional BatchNorm/ReLU (bias disabled when BN is on), TF-style
+"same" padding, and a depthwise-separable variant.  Layout is NHWC —
+the TPU-native layout — with HWIO kernels.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+IntPair = Union[int, Tuple[int, int]]
+
+
+def _pair(v: IntPair) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def same_padding(kernel_size: IntPair, stride: IntPair, dilation: IntPair):
+    """TF "SAME" padding amounts, matching the reference's formula.
+
+    ``pad_total = dilation*k - dilation + 1 - stride`` clipped at zero, split
+    with the extra pixel on the bottom/right (ref conv.py:6-41).
+    Returns ((top, bottom), (left, right)).
+    """
+    k = np.array(_pair(kernel_size))
+    s = np.array(_pair(stride))
+    d = np.array(_pair(dilation))
+    total = np.clip(d * k - d + 1 - s, 0, None)
+    lo = total // 2
+    hi = total - lo
+    return ((int(lo[0]), int(hi[0])), (int(lo[1]), int(hi[1])))
+
+
+# torchvision-compatible default initializer (kaiming normal, fan_out, relu)
+kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+# reference core/nn/init.py:4-29 equivalents (leaky_relu nonlinearity, a=0)
+kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+xavier_uniform = nn.initializers.xavier_uniform()
+xavier_normal = nn.initializers.xavier_normal()
+
+
+class ConvBNReLU(nn.Module):
+    """Conv2d with optional BN and ReLU (ref conv.py:48-100).
+
+    Attributes:
+        features: output channels.
+        kernel_size: int or (kh, kw).
+        bn: add BatchNorm (conv bias disabled when True, ref conv.py:72).
+        relu: add ReLU.
+        padding: int pairs, or "same" for the TF formula above.
+    """
+
+    features: int
+    kernel_size: IntPair = 1
+    stride: IntPair = 1
+    padding: Union[str, IntPair] = 0
+    dilation: IntPair = 1
+    groups: int = 1
+    bn: bool = False
+    bn_momentum: float = 0.1
+    relu: bool = False
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: nn.initializers.Initializer = kaiming_normal_out
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.padding == "same":
+            pad = same_padding(self.kernel_size, self.stride, self.dilation)
+        else:
+            p = _pair(self.padding)
+            pad = ((p[0], p[0]), (p[1], p[1]))
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=_pair(self.kernel_size),
+            strides=_pair(self.stride),
+            padding=pad,
+            kernel_dilation=_pair(self.dilation),
+            feature_group_count=self.groups,
+            use_bias=not self.bn,
+            dtype=self.dtype,
+            kernel_init=self.kernel_init,
+            name="conv",
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=1.0 - self.bn_momentum,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """Depthwise conv followed by a pointwise 1x1 conv (ref conv.py:103-145)."""
+
+    features: int
+    kernel_size: IntPair = 3
+    stride: IntPair = 1
+    padding: Union[str, IntPair] = 0
+    dilation: IntPair = 1
+    depthwise_bn: bool = False
+    pointwise_bn: bool = False
+    bn_momentum: float = 0.1
+    depthwise_relu: bool = False
+    pointwise_relu: bool = False
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: nn.initializers.Initializer = kaiming_normal_out
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        in_ch = x.shape[-1]
+        x = ConvBNReLU(
+            features=in_ch,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=in_ch,
+            bn=self.depthwise_bn,
+            bn_momentum=self.bn_momentum,
+            relu=self.depthwise_relu,
+            dtype=self.dtype,
+            kernel_init=self.kernel_init,
+            name="depthwise_cnn",
+        )(x, train)
+        x = ConvBNReLU(
+            features=self.features,
+            kernel_size=1,
+            bn=self.pointwise_bn,
+            bn_momentum=self.bn_momentum,
+            relu=self.pointwise_relu,
+            dtype=self.dtype,
+            kernel_init=self.kernel_init,
+            name="pointwise_cnn",
+        )(x, train)
+        return x
