@@ -1,0 +1,282 @@
+"""Mapping engine tests: golden numpy replication of the reference math.
+
+The golden model below independently implements the documented behavior of
+ref mapping.py:357-444 in plain numpy — including the fancy-index ``+=``
+duplicate-collapse quirk — and the fused TPU engine must match it exactly.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+from vision_semantic_segmentation_tpu.mapping import (
+    ConfusionMatrix,
+    GridSpec,
+    LABEL_COLORS,
+    PCD_ORIGIN_OFFSET,
+    SemanticMappingEngine,
+    apply_filter,
+    fill_black,
+    log_odds_to_probability,
+    pad_points,
+    render_bev_map,
+    render_bev_map_with_thresholds,
+    stitch_image,
+    velodyne_to_baselink,
+)
+from vision_semantic_segmentation_tpu.geometry import camera_setup_1
+
+
+def small_cfg():
+    cfg = get_cfg_defaults()
+    cfg.MAPPING.BOUNDARY = [[100, 140], [800, 840]]  # 400x400 cells at 0.1m
+    cfg.MAPPING.POINT_BUCKET = 4096
+    return cfg
+
+
+def quat_to_mat(q):
+    from scipy.spatial.transform import Rotation
+
+    T = np.eye(4)
+    T[:3, :3] = Rotation.from_quat(q).as_matrix()
+    return T
+
+
+def golden_frame(grid, pcd, image, position, quaternion, cfg, evidence):
+    """Independent numpy model of project_pcd + update_map (ref :357-444)."""
+    cam = camera_setup_1()
+    T_v2b = velodyne_to_baselink()
+    T_b2o = quat_to_mat(quaternion)
+    T_b2o[:3, 3] = position
+    T_o2v = np.linalg.inv(T_b2o @ T_v2b)
+
+    pcd_h = np.vstack([pcd[:3], np.ones((1, pcd.shape[1]))])
+    pcd_velo = T_o2v @ pcd_h
+    proj = cam.P @ pcd_velo
+    ixy = (proj[:2] / proj[2]).astype(np.int32)
+
+    front = (pcd_velo[0] > 0) & (pcd_velo[0] < cfg.MAPPING.PCD.RANGE_MAX)
+    in_img = (ixy[0] >= 0) & (ixy[0] < image.shape[1]) & (ixy[1] >= 0) & (ixy[1] < image.shape[0])
+    mask = front & in_img
+
+    masked_pcd = pcd[:, mask]
+    label = image[ixy[1, mask], ixy[0, mask]].T  # (3, M)
+
+    boundary = cfg.MAPPING.BOUNDARY
+    res = cfg.MAPPING.RESOLUTION
+    local = masked_pcd[:2] + PCD_ORIGIN_OFFSET[:2, None]
+    px = ((local - np.array([[boundary[0][0]], [boundary[1][0]]])) / res).astype(np.int32)
+    h, w = grid.shape[:2]
+    on_grid = (px[0] >= 0) & (px[0] < h) & (px[1] >= 0) & (px[1] < w)
+
+    colors = np.array(cfg.LABEL_COLORS)
+    for i, name in enumerate(cfg.LABELS_NAMES):
+        idx = np.logical_and.reduce(label == colors[i].reshape(3, 1))
+        idx_mask = idx & on_grid
+        # fancy += : duplicate cells collapse (reference quirk)
+        grid[px[0, idx_mask], px[1, idx_mask], :] += evidence[:, i].reshape(1, -1)
+        if cfg.MAPPING.PCD.USE_INTENSITY and name == "lane":
+            imask = ((masked_pcd[3] < 2) | (masked_pcd[3] > 14)) & idx_mask
+            grid[px[0, imask], px[1, imask], i] += 2
+    return grid
+
+
+def make_frame(rng, cfg, n=3000):
+    """Synthesize a frame: points in front of camera1 near the vehicle pose."""
+# points in the grid region, which spans x [100,140) - offset -> origin x
+    x0 = 100 - PCD_ORIGIN_OFFSET[0]
+    y0 = 800 - PCD_ORIGIN_OFFSET[1]
+    # vehicle just behind the region, facing +x so camera1 sees the points
+    position = np.array([x0 - 6.0, y0 + 20.0, 0.0])
+    quaternion = np.array([0.0, 0.0, 0.0, 1.0])
+    res = cfg.MAPPING.RESOLUTION
+    # snap x/y to cell centers: float32 vs float64 truncation at exact cell
+    # boundaries would otherwise flip a couple of border cells
+    snap = lambda v, lo: lo + (np.floor((v - lo) / res) + 0.5) * res
+    pts = np.vstack(
+        [
+            snap(rng.uniform(x0, x0 + 40, n), x0),
+            snap(rng.uniform(y0, y0 + 40, n), y0),
+            rng.uniform(-1.0, 0.5, n),
+            rng.uniform(0, 20, n),
+        ]
+    ).astype(np.float32)
+    # semantic image: patches of the 5 palette colors + background
+    img = np.zeros((1440, 1920, 3), dtype=np.uint8)
+    colors = np.array(cfg.LABEL_COLORS, dtype=np.uint8)
+    for i in range(5):
+        img[:, i * 380 : (i + 1) * 380] = colors[i]
+    img[:100, :] = 17  # some non-palette color
+    return pts, img, position, quaternion
+
+
+class TestEngineGoldenParity:
+    @pytest.mark.parametrize("use_intensity", [True, False])
+    def test_matches_golden_numpy(self, rng, use_intensity):
+        cfg = small_cfg()
+        cfg.MAPPING.PCD.USE_INTENSITY = use_intensity
+        evidence = np.eye(5)
+        engine = SemanticMappingEngine(cfg, evidence=evidence)
+        pts, img, position, quaternion = make_frame(rng, cfg)
+
+        pcd_pad, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        grid = engine.init_grid()
+        grid, cls, vis = engine.step(grid, pcd_pad, valid, img, position, quaternion)
+
+        golden = golden_frame(
+            np.zeros(engine.grid_spec.shape), pts.astype(np.float64),
+            img, position, quaternion, cfg, evidence,
+        )
+        ours = np.asarray(grid)
+        assert ours.sum() > 0, "no points landed on the grid — bad fixture"
+        np.testing.assert_allclose(ours, golden, atol=1e-5)
+
+    def test_log_confusion_evidence(self, rng):
+        cfg = small_cfg()
+        raw = rng.random((19, 19)) + np.eye(19) * 5
+        cm = ConfusionMatrix(matrix=raw)
+        evidence = cm.get_submatrix(cfg.LABELS, to_probability=True, use_log=True)
+        assert evidence.shape == (5, 5)
+        # row-stochastic before log
+        np.testing.assert_allclose(np.exp(evidence).sum(axis=1), 1.0, atol=1e-9)
+
+        engine = SemanticMappingEngine(cfg, evidence=evidence)
+        pts, img, position, quaternion = make_frame(rng, cfg, n=500)
+        pcd_pad, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        grid, _, _ = engine.step(engine.init_grid(), pcd_pad, valid, img, position, quaternion)
+        golden = golden_frame(
+            np.zeros(engine.grid_spec.shape), pts.astype(np.float64),
+            img, position, quaternion, cfg, evidence,
+        )
+        np.testing.assert_allclose(np.asarray(grid), golden, atol=1e-5)
+
+    def test_multi_frame_determinism(self, rng):
+        cfg = small_cfg()
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        pts, img, position, quaternion = make_frame(rng, cfg, n=2000)
+        pcd_pad, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+
+        def run():
+            g = engine.init_grid()
+            for _ in range(3):
+                g, _, _ = engine.step(g, pcd_pad, valid, img, position, quaternion)
+            return np.asarray(g)
+
+        a, b = run(), run()
+        np.testing.assert_array_equal(a, b)
+
+    def test_velodyne_frame_points(self, rng):
+        """points_raw mode: the cloud is already in the ego frame (ref :372-373)."""
+        cfg = small_cfg()
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        pts, img, position, quaternion = make_frame(rng, cfg, n=200)
+        pcd_pad, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        grid, _, vis = engine.step(
+            engine.init_grid(), pcd_pad, valid, img, position, quaternion,
+            pcd_frame_id="velodyne",
+        )
+        assert np.asarray(grid).shape == engine.grid_spec.shape
+
+
+class TestPlanar:
+    def test_update_map_planar_runs(self, rng):
+        cfg = small_cfg()
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        img = np.zeros((1440, 1920, 3), dtype=np.uint8)
+        img[:] = np.array(cfg.LABEL_COLORS[0], dtype=np.uint8)
+        T_local_to_base = np.eye(4)
+        grid = engine.update_map_planar(engine.init_grid(), img, T_local_to_base)
+        out = np.asarray(grid)
+        assert out.shape == engine.grid_spec.shape
+        assert (out >= 0).all()
+        sep = int((8 - cfg.MAPPING.BOUNDARY[0][0]) / cfg.MAPPING.RESOLUTION)
+        if sep > 0:
+            assert out[:, : min(sep, out.shape[1])].sum() == 0  # near-field masked
+
+
+class TestRenderer:
+    def test_render_bev_map_golden(self):
+        grid = np.zeros((3, 3, 5), dtype=np.float32)
+        grid[0, 0, 2] = 5  # lane wins
+        grid[1, 1, 0] = 1
+        grid[1, 1, 4] = 3  # sidewalk wins
+        out = np.asarray(render_bev_map(jnp.asarray(grid), LABEL_COLORS))
+        np.testing.assert_array_equal(out[0, 0], LABEL_COLORS[2])
+        np.testing.assert_array_equal(out[1, 1], LABEL_COLORS[4])
+        np.testing.assert_array_equal(out[2, 2], [0, 0, 0])  # empty stays black
+
+    def test_threshold_render(self):
+        grid = np.zeros((2, 2, 5), dtype=np.float32)
+        grid[0, 0] = [8, 0, 2, 0, 0]  # road 0.8, lane 0.2
+        out = np.asarray(
+            render_bev_map_with_thresholds(
+                jnp.asarray(grid), LABEL_COLORS,
+                priority=[3, 4, 0, 2, 1],
+                thresholds=[0.1, 0.1, 0.5, 0.2, 0.05],
+            )
+        )
+        # road share 0.8 >= 0.5 paints road; lane 0.2 >= 0.2 paints after
+        # (lane priority 2 is painted later than road in priority order)
+        np.testing.assert_array_equal(out[0, 0], LABEL_COLORS[2])
+        np.testing.assert_array_equal(out[1, 1], [0, 0, 0])  # unexplored
+
+    def test_fill_black(self):
+        img = np.zeros((5, 5, 3), dtype=np.uint8)
+        img[2, 2] = LABEL_COLORS[1]  # crosswalk (highest fill priority)
+        img[2, 3] = LABEL_COLORS[0]  # road
+        out = np.asarray(fill_black(jnp.asarray(img)))
+        np.testing.assert_array_equal(out[2, 2], LABEL_COLORS[1])
+        np.testing.assert_array_equal(out[1, 2], LABEL_COLORS[1])  # dilated
+        np.testing.assert_array_equal(out[0, 0], [0, 0, 0])  # out of reach
+
+    def test_log_odds_to_probability(self, rng):
+        grid = rng.standard_normal((4, 4, 5)).astype(np.float32)
+        prob = np.asarray(log_odds_to_probability(jnp.asarray(grid)))
+        np.testing.assert_allclose(prob.sum(axis=2), 1.0, atol=1e-5)
+        from scipy.special import logsumexp
+
+        ref = np.exp(grid - logsumexp(grid, axis=2, keepdims=True))
+        np.testing.assert_allclose(prob, ref, atol=1e-5)
+
+    def test_apply_filter_preserves_shape(self, rng):
+        grid = rng.random((10, 12, 5)).astype(np.float32)
+        out = np.asarray(apply_filter(jnp.asarray(grid)))
+        assert out.shape == grid.shape
+
+
+class TestStitching:
+    def test_log_odds_accumulation(self, rng):
+        frames = [rng.random((20, 30, 5)).astype(np.float32) for _ in range(3)]
+        eye = np.eye(3)
+        out = np.asarray(stitch_image(frames, [eye, eye, eye], log_odds_out=True))
+        # identity homographies: canvas = sum of all but the last frame
+        np.testing.assert_allclose(
+            out[:20, :30], frames[0] + frames[1], atol=1e-3
+        )
+
+    def test_color_painter(self, rng):
+        f0 = np.zeros((10, 10, 5), dtype=np.float32)
+        f0[:, :, 0] = 1  # road everywhere
+        f1 = np.zeros((10, 10, 5), dtype=np.float32)
+        f1[:5, :, 2] = 1  # lane top half
+        eye = np.eye(3)
+        out = np.asarray(stitch_image([f0, f1, f1], [eye, eye, eye], log_odds_out=False))
+        np.testing.assert_array_equal(out[7, 3], LABEL_COLORS[0])
+        np.testing.assert_array_equal(out[2, 3], LABEL_COLORS[2])
+
+
+class TestGridSpec:
+    def test_from_cfg(self):
+        cfg = get_cfg_defaults()
+        spec = GridSpec.from_cfg(cfg)
+        assert spec.shape == (2000, 2000, 5)
+        cfg.MAPPING.BOUNDARY = [[0, 1000], [0, 1400]]
+        cfg.MAPPING.RESOLUTION = 0.2
+        assert GridSpec.from_cfg(cfg).shape == (5000, 7000, 5)
+
+    def test_pad_points(self, rng):
+        pts = rng.random((4, 100)).astype(np.float32)
+        padded, valid = pad_points(pts, 256)
+        assert padded.shape == (4, 256)
+        assert valid.sum() == 100
+        np.testing.assert_array_equal(padded[:, :100], pts)

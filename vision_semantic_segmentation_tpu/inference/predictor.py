@@ -1,0 +1,137 @@
+"""Jitted semantic segmentation predictor.
+
+Rebuild of `/root/reference/src/semantic_segmentation.py:20-57`: build the
+model from config, load weights, and run preprocess + forward + argmax per
+frame.  TPU-first differences:
+
+  * preprocessing (scale to [0,1], ImageNet normalize — the reference's
+    ToTensor+Normalize, ref :35-39) is fused INTO the jitted forward, so a
+    raw uint8 frame is the only host->device transfer;
+  * the conv path can run in bfloat16 (params stay fp32);
+  * input sizes are bucketed: each distinct (H, W) compiles once and is
+    cached, avoiding the recompile-per-shape trap (SURVEY.md section 7).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.build import build_model
+from ..models.convert import load_npz, load_torch_checkpoint
+from ..ops.colormap import MAPILLARY_19_PALETTE, apply_color_map
+from ..ops.resize import resize_area, resize_nearest
+
+Array = jnp.ndarray
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+class SemanticSegmentation:
+    """End-to-end segmentation: uint8 RGB frame -> label map.
+
+    Args:
+        cfg: network config node (demo tree).
+        variables: optional pre-loaded flax variables; otherwise
+            ``cfg.MODEL.WEIGHT`` is loaded (.npz native, .pth via the
+            torch converter).
+        compute_dtype: 'bfloat16' (default, MXU-native) or 'float32'.
+    """
+
+    def __init__(self, cfg, variables=None, compute_dtype: Optional[str] = None):
+        if compute_dtype is None:
+            compute_dtype = (
+                cfg.MODEL.COMPUTE_DTYPE if "COMPUTE_DTYPE" in cfg.MODEL else "bfloat16"
+            )
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self.model, self.loss_fn, self.train_metric, self.val_metric = build_model(
+            cfg, dtype=dtype
+        )
+        self.cfg = cfg
+
+        if variables is None:
+            weight = cfg.MODEL.WEIGHT
+            if not weight:
+                raise ValueError("cfg.MODEL.WEIGHT is empty and no variables given")
+            if weight.endswith(".pth"):
+                variables = load_torch_checkpoint(weight)
+            else:
+                variables = load_npz(weight)
+        self.variables = jax.tree.map(jnp.asarray, variables)
+
+        self._mean = jnp.asarray(IMAGENET_MEAN)
+        self._std = jnp.asarray(IMAGENET_STD)
+        self._forward_cache: Dict[Tuple[int, int, bool], callable] = {}
+
+    # -- compiled paths ------------------------------------------------------
+    def _forward(self, upsample_pred: bool):
+        key = upsample_pred
+
+        @jax.jit
+        def fwd(variables, image_u8):
+            x = image_u8.astype(jnp.float32) / 255.0
+            x = (x - self._mean) / self._std
+            if x.ndim == 3:
+                x = x[None]
+            logits = self.model.apply(
+                variables, x, train=False, upsample_pred=upsample_pred
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        return fwd
+
+    def segmentation(self, image: np.ndarray, upsample_pred: bool = False) -> np.ndarray:
+        """uint8 RGB (H, W, 3) -> int32 label map (ref :41-57).
+
+        Matches the reference's ``upsample_pred=False`` default: the label
+        map is at the decoder's output resolution; callers resize it
+        (ref vision_semantic_segmentation_node.py:109).
+        """
+        key = (image.shape[0], image.shape[1], upsample_pred)
+        if key not in self._forward_cache:
+            self._forward_cache[key] = self._forward(upsample_pred)
+        preds = self._forward_cache[key](self.variables, jnp.asarray(image))
+        return np.asarray(preds[0] if preds.shape[0] == 1 else preds)
+
+    def logits(self, image: np.ndarray, upsample_pred: bool = False) -> Array:
+        """Raw logits path for downstream fusion (confidence-aware mapping)."""
+        x = jnp.asarray(image).astype(jnp.float32) / 255.0
+        x = (x - self._mean) / self._std
+        if x.ndim == 3:
+            x = x[None]
+        return self.model.apply(self.variables, x, train=False, upsample_pred=upsample_pred)
+
+
+def colorize_labels(labels: Array, palette: np.ndarray = MAPILLARY_19_PALETTE) -> Array:
+    """Label map -> RGB via the dataset palette (ref node:114,
+    mapillary_visualization.py:70-89)."""
+    return apply_color_map(jnp.asarray(labels), jnp.asarray(palette))
+
+
+def preprocess_frame(
+    image: np.ndarray,
+    undistort_map: Optional[np.ndarray] = None,
+    image_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Node-side frame prep: undistort + INTER_AREA downscale (ref node:85-96).
+
+    Device-side; returns the scaled uint8 image ready for segmentation.
+    """
+    from ..ops.warp import undistort as undistort_op
+
+    x = jnp.asarray(image)
+    if undistort_map is not None:
+        x = undistort_op(x, jnp.asarray(undistort_map))
+    if image_scale < 1.0:
+        out_hw = (int(x.shape[0] * image_scale), int(x.shape[1] * image_scale))
+        x = resize_area(x, out_hw)
+    return x
+
+
+def postprocess_labels(labels: Array, out_hw: Tuple[int, int]) -> Array:
+    """Resize the label map back to full resolution, INTER_NEAREST (ref node:109)."""
+    return resize_nearest(labels, out_hw)

@@ -1,0 +1,377 @@
+"""The probabilistic BEV mapping engine — fused, on-device.
+
+TPU-native rebuild of the mapping math in
+`/root/reference/src/mapping.py:292-488` (and its replay twin
+mapping_replay.py:214-319).  Where the reference runs three host-side numpy
+stages per frame (project_pcd -> label gather -> per-class masked
+scatter-add loop), this engine compiles ONE jitted program per camera that
+takes the HBM-resident grid plus the frame tensors and performs:
+
+    pose -> T_origin_to_velodyne -> project points -> gather labels from
+    the semantic image -> match palette -> cell hash -> scatter-add of
+    confusion-matrix columns -> LiDAR lane-intensity boost
+
+entirely on device.  Dynamic point counts are handled by padding to a
+static bucket with a validity mask folded into drop-indices
+(SURVEY.md section 7 "hard parts").
+
+Determinism: XLA scatter-add on TPU applies updates in a fixed order for a
+given compiled program, so replays are bit-identical — the property the
+reference achieves by single-threaded numpy.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import Camera, camera_setup_1, camera_setup_6
+from ..geometry.homography import find_homography, warp_perspective
+from ..geometry.transforms import (
+    euler_matrix,
+    homogenize,
+    mm,
+    pose_to_matrix,
+    se3_inverse,
+)
+from ..ops.colormap import colors_to_labels
+from ..ops.scatter import masked_scatter_add_channel, masked_scatter_add_rows
+
+Array = jnp.ndarray
+
+# Fixed global map origin: min x/y of the point-cloud map, so all grid
+# coordinates are positive (ref mapping.py:228-236, 404)
+PCD_ORIGIN_OFFSET = np.array([1369.0496826171875, 562.84814453125, 0.0])
+
+
+def velodyne_to_baselink() -> np.ndarray:
+    """Tuned velodyne->baselink extrinsic (ref mapping.py:165-170)."""
+    T = euler_matrix(0.0, 0.140, 0.0)
+    T[0:3, 3] = [2.64, 0.0, 1.98]
+    return T
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """BEV grid geometry (ref mapping.py:110-117).
+
+    ``boundary`` is [[xmin, xmax], [ymin, ymax]] in meters; rows index x,
+    columns index y (the reference's map[x_cell, y_cell] convention).
+    """
+
+    boundary: Tuple[Tuple[float, float], Tuple[float, float]]
+    resolution: float
+    num_classes: int
+
+    @property
+    def height(self) -> int:
+        return int((self.boundary[0][1] - self.boundary[0][0]) / self.resolution)
+
+    @property
+    def width(self) -> int:
+        return int((self.boundary[1][1] - self.boundary[1][0]) / self.resolution)
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return (self.height, self.width, self.num_classes)
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "GridSpec":
+        b = cfg.MAPPING.BOUNDARY
+        return cls(
+            boundary=((b[0][0], b[0][1]), (b[1][0], b[1][1])),
+            resolution=cfg.MAPPING.RESOLUTION,
+            num_classes=len(cfg.LABELS_NAMES),
+        )
+
+
+def pad_points(pcd: np.ndarray, bucket: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad a (4, N) point cloud to (4, bucket) with a validity mask.
+
+    Keeps shapes static for jit; overflow points beyond the bucket are
+    dropped (callers should size the bucket above the sensor's max).
+    """
+    n = pcd.shape[1]
+    if n > bucket:
+        pcd = pcd[:, :bucket]
+        n = bucket
+    out = np.zeros((4, bucket), dtype=np.float32)
+    out[:, :n] = pcd
+    valid = np.zeros((bucket,), dtype=bool)
+    valid[:n] = True
+    return out, valid
+
+
+class SemanticMappingEngine:
+    """Stateless-core mapping engine; the grid is explicit functional state.
+
+    Usage:
+        engine = SemanticMappingEngine(cfg)
+        grid = engine.init_grid()
+        grid, point_labels, point_mask = engine.step(
+            grid, pcd, valid, semantic_rgb, position, quaternion,
+            camera="camera1")
+    """
+
+    def __init__(
+        self,
+        cfg,
+        evidence: Optional[np.ndarray] = None,
+        duplicate_semantics: str = "reference",
+    ):
+        """Args:
+            duplicate_semantics: 'reference' collapses duplicate (cell,
+                class) hits per frame like the reference's fancy-index +=
+                (ref mapping.py:424); 'accumulate' adds evidence per point.
+        """
+        from .confusion import evidence_matrix
+
+        assert duplicate_semantics in ("reference", "accumulate")
+        self.duplicate_semantics = duplicate_semantics
+        self.cfg = cfg
+        self.grid_spec = GridSpec.from_cfg(cfg)
+        self.label_names = list(cfg.LABELS_NAMES)
+        self.label_colors = np.array(cfg.LABEL_COLORS, dtype=np.uint8)
+        self.lane_channel = (
+            self.label_names.index("lane") if "lane" in self.label_names else -1
+        )
+        self.use_intensity = bool(cfg.MAPPING.PCD.USE_INTENSITY)
+        self.range_max = float(cfg.MAPPING.PCD.RANGE_MAX)
+        self.point_bucket = int(cfg.MAPPING.POINT_BUCKET)
+
+        if evidence is None:
+            evidence = evidence_matrix(cfg, len(self.label_names))
+        # (C, C): column i is the additive evidence for observed class i
+        self.evidence = np.asarray(evidence, dtype=np.float32)
+
+        self.T_velodyne_to_baselink = velodyne_to_baselink()
+        self.cameras: Dict[str, Camera] = {
+            "camera1": camera_setup_1(),
+            "camera6": camera_setup_6(),
+        }
+
+        # One compiled step per (camera, pcd-frame) combination
+        self._step_fns: Dict[Tuple[str, bool], callable] = {}
+
+    # -- state --------------------------------------------------------------
+    def init_grid(self) -> Array:
+        return jnp.zeros(self.grid_spec.shape, dtype=jnp.float32)
+
+    # -- fused frame step ----------------------------------------------------
+    def _build_step(self, camera_id: str, pcd_in_velodyne_frame: bool):
+        P = jnp.asarray(self.cameras[camera_id].P, dtype=jnp.float32)
+        T_v2b = jnp.asarray(self.T_velodyne_to_baselink, dtype=jnp.float32)
+        evidence_T = jnp.asarray(self.evidence.T)  # row i = evidence column i
+        label_colors = jnp.asarray(self.label_colors)
+        offset = jnp.asarray(PCD_ORIGIN_OFFSET[:2, None], dtype=jnp.float32)
+        spec = self.grid_spec
+        bmin = jnp.asarray(
+            [[spec.boundary[0][0]], [spec.boundary[1][0]]], dtype=jnp.float32
+        )
+        inv_res = 1.0 / spec.resolution
+        h, w = spec.height, spec.width
+        lane = self.lane_channel
+        use_intensity = self.use_intensity and lane >= 0
+        range_max = self.range_max
+        dedupe = self.duplicate_semantics == "reference"
+
+        @jax.jit
+        def step(grid, pcd, valid, image, position, quaternion):
+            xyz = pcd[0:3].astype(jnp.float32)
+            intensity = pcd[3]
+
+            # pose -> T_origin_to_velodyne (ref mapping.py:368-371)
+            if pcd_in_velodyne_frame:
+                xyz_velo = xyz
+            else:
+                T_b2o = pose_to_matrix(position, quaternion).astype(jnp.float32)
+                T_o2v = se3_inverse(mm(T_b2o, T_v2b))
+                xyz_velo = mm(T_o2v[:3, :3], xyz) + T_o2v[:3, 3:4]
+
+            # perspective projection with int32 truncation (ref :375)
+            proj = mm(P, homogenize(xyz_velo))
+            ixy = (proj[:2] / proj[2]).astype(jnp.int32)
+
+            # visibility: in front, in range, inside the image (ref :378-383)
+            front = (xyz_velo[0] > 0) & (xyz_velo[0] < range_max)
+            img_h, img_w = image.shape[0], image.shape[1]
+            in_img = (
+                (ixy[0] >= 0) & (ixy[0] < img_w) & (ixy[1] >= 0) & (ixy[1] < img_h)
+            )
+            vis = valid & front & in_img
+
+            # gather point colors from the semantic image (ref :387)
+            gx = jnp.clip(ixy[0], 0, img_w - 1)
+            gy = jnp.clip(ixy[1], 0, img_h - 1)
+            rgb = image[gy, gx]  # (N, 3)
+            cls = colors_to_labels(rgb, label_colors, fill=-1)
+
+            # grid cell from the point's map-frame x/y (ref :403-411)
+            local = xyz[0:2] + offset
+            cell_rc = ((local - bmin) * inv_res).astype(jnp.int32)
+            on_grid = (
+                (cell_rc[0] >= 0)
+                & (cell_rc[0] < h)
+                & (cell_rc[1] >= 0)
+                & (cell_rc[1] < w)
+            )
+            cell = cell_rc[0] * w + cell_rc[1]
+
+            # Bayesian update: add the confusion-matrix column of the
+            # observed class to the cell (ref :414-424)
+            upd = vis & on_grid & (cls >= 0)
+
+            if dedupe:
+                # PARITY QUIRK (load-bearing): the reference updates with
+                # numpy fancy-index ``+=`` (ref mapping.py:424,437), which
+                # collapses duplicate indices — evidence is added once per
+                # (cell, class) per *frame*, not per point.  Reproduce that
+                # exactly by sorting the (cell, class) keys and scattering
+                # only first occurrences.
+                num_cls = evidence_T.shape[0]
+                key = jnp.where(upd, cell * num_cls + jnp.clip(cls, 0), h * w * num_cls)
+                order = jnp.argsort(key)
+                ksort = key[order]
+                first = jnp.concatenate(
+                    [jnp.ones((1,), bool), ksort[1:] != ksort[:-1]]
+                )
+                kvalid = ksort < h * w * num_cls
+                cell_s = ksort // num_cls
+                cls_s = ksort % num_cls
+                rows = evidence_T[cls_s]
+                grid = masked_scatter_add_rows(grid, cell_s, rows, first & kvalid)
+            else:
+                rows = evidence_T[jnp.clip(cls, 0)]  # (N, C)
+                grid = masked_scatter_add_rows(grid, cell, rows, upd)
+
+            # LiDAR intensity lane boost (ref :427-437): retro-reflective
+            # returns (paint) have extreme intensities; +2 evidence
+            if use_intensity:
+                boost = upd & (cls == lane) & ((intensity < 2) | (intensity > 14))
+                if dedupe:
+                    bkey = jnp.where(boost, cell, h * w)
+                    border = jnp.argsort(bkey)
+                    bsort = bkey[border]
+                    bfirst = jnp.concatenate(
+                        [jnp.ones((1,), bool), bsort[1:] != bsort[:-1]]
+                    )
+                    bval = bsort < h * w
+                    grid = masked_scatter_add_channel(
+                        grid, bsort, lane,
+                        jnp.full(bsort.shape, 2.0, grid.dtype), bfirst & bval,
+                    )
+                else:
+                    grid = masked_scatter_add_channel(
+                        grid, cell, lane, jnp.full(cell.shape, 2.0, grid.dtype), boost
+                    )
+
+            return grid, cls, vis
+
+        return step
+
+    def step(
+        self,
+        grid: Array,
+        pcd: Array,
+        valid: Array,
+        image: Array,
+        position: Array,
+        quaternion: Array,
+        camera: str = "camera1",
+        pcd_frame_id: str = "",
+    ) -> Tuple[Array, Array, Array]:
+        """Fuse one frame into the grid.
+
+        Args:
+            grid: (H, W, C) evidence grid.
+            pcd: (4, N) points [x, y, z, intensity] (N static per bucket).
+            valid: (N,) mask for padded points.
+            image: (Hi, Wi, 3) uint8 semantic RGB image.
+            position, quaternion: vehicle pose (unused if pcd is already in
+                the velodyne frame, ref mapping.py:366-373).
+            camera: 'camera1' | 'camera6'.
+            pcd_frame_id: ROS frame id of the cloud; 'velodyne' means
+                ego-frame points (points_raw mode).
+
+        Returns:
+            (updated grid, per-point class index, per-point visibility).
+        """
+        key = (camera, pcd_frame_id == "velodyne")
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step(*key)
+        return self._step_fns[key](
+            grid,
+            jnp.asarray(pcd),
+            jnp.asarray(valid),
+            jnp.asarray(image),
+            jnp.asarray(position, dtype=jnp.float32),
+            jnp.asarray(quaternion, dtype=jnp.float32),
+        )
+
+    # -- planar (homography) fallback ----------------------------------------
+    def anchor_points_2(self) -> np.ndarray:
+        """Grid-frame anchor pixels used to fit the homography (ref :160-163)."""
+        w, h = self.grid_spec.width, self.grid_spec.height
+        return np.array(
+            [[w, w / 2, w / 2, w], [h / 4, h / 4, h * 3 / 4, h * 3 / 4]], dtype=np.float64
+        )
+
+    def discretize_matrix_inv(self) -> np.ndarray:
+        """Grid pixel -> local metric coordinates (ref mapping.py:148-153)."""
+        spec = self.grid_spec
+        return np.array(
+            [
+                [spec.resolution, 0, spec.boundary[0][0]],
+                [0, spec.resolution, spec.boundary[1][1]],
+                [0, 0, 1],
+            ]
+        )
+
+    def update_map_planar(
+        self, grid: Array, image: Array, T_local_to_base: np.ndarray, camera: str = "camera1"
+    ) -> Array:
+        """Project the semantic image onto the ground plane and accumulate.
+
+        Rebuild of ref mapping.py:446-488: anchor grid cells are cast
+        local_map -> base_link -> velodyne -> image to fit an image->grid
+        homography; the warped semantic image increments matching class
+        layers, with cells closer than 8 m in x masked out.
+
+        NOTE (reference defect, preserved *fixed*): the reference compares
+        warped pixel values against label *name strings*
+        (``image_on_map[:, :, 0] == self.label_names[i]``, ref :474), which
+        is always False in python3 — the planar path silently adds nothing.
+        We implement the evident intent: match the first color channel.
+        """
+        cam = self.cameras[camera]
+        anchors = self.anchor_points_2()
+        pts_map_h = np.vstack([anchors, np.ones((1, anchors.shape[1]))])
+        pts_local = self.discretize_matrix_inv() @ pts_map_h
+        pts_local[2, :] = 0.0
+        pts_local_h = np.vstack([pts_local, np.ones((1, pts_local.shape[1]))])
+
+        T_base_to_velodyne = np.linalg.inv(self.T_velodyne_to_baselink)
+        T_local_to_velodyne = T_base_to_velodyne @ np.asarray(T_local_to_base)
+        pts_velodyne = T_local_to_velodyne @ pts_local_h
+        proj = cam.P @ pts_velodyne
+        pts_image = (proj[:2] / proj[2]).T  # (4, 2)
+
+        H = find_homography(pts_image, anchors.T)
+        spec = self.grid_spec
+        image_on_map = warp_perspective(
+            jnp.asarray(image), H, (spec.width, spec.height), mode="nearest"
+        )
+
+        sep = int((8 - spec.boundary[0][0]) / spec.resolution)
+        col = jnp.arange(spec.width)
+        col_ok = (col >= sep)[None, :]
+
+        first_channel = image_on_map[..., 0]
+        for i in range(len(self.label_names)):
+            match = (first_channel == int(self.label_colors[i, 0])) & col_ok
+            grid = grid.at[:, :, i].add(match.astype(grid.dtype))
+        return jnp.maximum(grid, 0.0)

@@ -1,0 +1,135 @@
+"""BEV map rendering, device-side.
+
+Rebuild of `/root/reference/src/renderer.py:19-197`: argmax coloring with
+zero-evidence cells black, threshold/priority rendering, priority-based
+black-hole filling, border marking, and log-odds -> probability conversion
+(the logsumexp path exercised in ref test/test_renderer.py:35-47).
+All functions are pure jnp and jit-compatible.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.filters import box_filter_3x3
+
+Array = jnp.ndarray
+
+# Default palette of the 5 mapped classes (ref renderer.py:19-25)
+LABEL_COLORS = np.array(
+    [
+        [128, 64, 128],   # road
+        [140, 140, 200],  # crosswalk
+        [255, 255, 255],  # lane
+        [107, 142, 35],   # vegetation
+        [244, 35, 232],   # sidewalk
+    ],
+    dtype=np.uint8,
+)
+
+# Black-hole filling priority, low to high (ref renderer.py:67)
+FILL_PRIORITY = (0, 3, 4, 2, 1)
+
+
+def render_bev_map(grid: Array, label_colors: Array) -> Array:
+    """Color each cell by its argmax channel; zero-sum cells stay black.
+
+    (ref renderer.py:32-59)
+    """
+    label_colors = jnp.asarray(label_colors, dtype=jnp.uint8)
+    assert grid.ndim == 3 and grid.shape[2] == label_colors.shape[0]
+    winner = jnp.argmax(grid, axis=2)
+    colored = label_colors[winner]
+    known = jnp.sum(grid, axis=2) != 0
+    return jnp.where(known[..., None], colored, jnp.uint8(0))
+
+
+def render_bev_map_with_thresholds(
+    grid: Array,
+    label_colors: Array,
+    priority: Optional[Sequence[int]] = None,
+    thresholds: Sequence[float] = (0.01, 0.01, 0.01, 0.01, 0.01),
+) -> Array:
+    """Render channels whose normalized share exceeds a threshold.
+
+    Channels are painted in priority order (later = higher priority
+    overwrites), restricted to explored cells (ref renderer.py:131-172).
+    """
+    label_colors = jnp.asarray(label_colors, dtype=jnp.uint8)
+    num_channels = grid.shape[2]
+    if priority is None:
+        priority = list(range(num_channels))
+    assert len(priority) == num_channels
+
+    channel_sum = jnp.sum(grid, axis=2, keepdims=True)
+    normalized = jnp.where(channel_sum != 0, grid / jnp.where(channel_sum == 0, 1, channel_sum), 0.0)
+    known = (channel_sum[..., 0] != 0)
+
+    colored = jnp.zeros((*grid.shape[:2], 3), dtype=jnp.uint8)
+    for i, p in enumerate(priority):
+        mask = (normalized[..., p] >= thresholds[i]) & known
+        colored = jnp.where(mask[..., None], label_colors[p], colored)
+    return colored
+
+
+def fill_black(
+    color_map: Array,
+    label_colors: Array = LABEL_COLORS,
+    priority: Sequence[int] = FILL_PRIORITY,
+) -> Array:
+    """Fill cells from their 3x3 neighborhood by class priority.
+
+    Device rewrite of ref renderer.py:62-98: for every pixel, each class
+    present anywhere in the 3x3 window paints it, in priority order (higher
+    priority last).  The reference matches classes via the first color
+    channel only and shrinks the output by the 1-px border; we keep the
+    full canvas (border pixels see their partial window) and match on full
+    RGB, which is equivalent for the shipped palette.
+    """
+    label_colors = jnp.asarray(label_colors, dtype=jnp.uint8)
+    h, w = color_map.shape[0], color_map.shape[1]
+    padded = jnp.pad(color_map, ((1, 1), (1, 1), (0, 0)))
+
+    windows = [padded[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+    stacked = jnp.stack(windows)  # (9, H, W, 3)
+
+    out = jnp.zeros_like(color_map)
+    for cls in priority:
+        color = label_colors[cls]
+        present = jnp.any(jnp.all(stacked == color, axis=-1), axis=0)
+        out = jnp.where(present[..., None], color, out)
+    return out
+
+
+def resume_color(gray3: Array, label_colors: Array = LABEL_COLORS) -> Array:
+    """Restore full RGB from a first-channel-keyed image (ref renderer.py:101-105)."""
+    label_colors = jnp.asarray(label_colors, dtype=jnp.uint8)
+    out = gray3
+    for i in range(label_colors.shape[0]):
+        mask = gray3[..., 0] == label_colors[i, 0]
+        out = jnp.where(mask[..., None], label_colors[i], out)
+    return out
+
+
+def fill_edge(color_map: Array) -> Array:
+    """Mark canvas borders (ref renderer.py:192-196)."""
+    color_map = color_map.at[jnp.asarray([0, -1]), :, :].set(250)
+    color_map = color_map.at[:, jnp.asarray([0, -1]), :].set(250)
+    color_map = color_map.at[0:5, 0:5].set(254)
+    return color_map
+
+
+def log_odds_to_probability(grid: Array) -> Array:
+    """Normalize per-cell log evidence to probabilities via logsumexp.
+
+    (ref test/test_renderer.py:35-47)
+    """
+    return jnp.exp(grid - jax.scipy.special.logsumexp(grid, axis=2, keepdims=True))
+
+
+def apply_filter(grid: Array) -> Array:
+    """3x3 box smoothing of the evidence grid (ref renderer.py:175-189)."""
+    return box_filter_3x3(grid)

@@ -1,0 +1,207 @@
+"""The two pipeline nodes, wired over the in-process topic bus.
+
+Rebuild of the reference's L6 ROS layer:
+  * SegmentationNode (`/root/reference/src/vision_semantic_segmentation_node.py:49-221`):
+    camera frame -> undistort -> scale -> network -> colorize -> publish
+  * MappingNode (`/root/reference/src/mapping.py:39-355`): semantic image +
+    pose + cloud -> time sync -> fused grid update -> finalize at cutoff
+
+Topic names mirror the reference so the dataflow is recognizable; the
+transport is the synchronous TopicBus instead of TCPROS.
+"""
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config.defaults import resolve_output_dir
+from ..geometry.camera import get_camera
+from ..inference.predictor import (
+    SemanticSegmentation,
+    colorize_labels,
+    postprocess_labels,
+    preprocess_frame,
+)
+from ..mapping.engine import SemanticMappingEngine, pad_points
+from ..mapping.renderer import apply_filter, render_bev_map
+from ..ops.colormap import MAPILLARY_19_PALETTE
+from ..utils.file_io import makedirs
+from ..utils.logger import MyLogger
+from .bus import Message, TopicBus, nearest_stamp_index
+from .io import FrameRecord, save_frames
+
+
+class SegmentationNode:
+    """Camera image -> semantic RGB image (ref node:49-221).
+
+    Subscribes ``/cameraX/image_raw``; publishes ``/cameraX/semantic``.
+    """
+
+    def __init__(self, cfg, bus: TopicBus, predictor: Optional[SemanticSegmentation] = None,
+                 cameras: Tuple[str, ...] = ("camera1", "camera6")):
+        self.cfg = cfg
+        self.bus = bus
+        self.image_scale = float(cfg.VISION_SEM_SEG.IMAGE_SCALE)
+        self.predictor = predictor or SemanticSegmentation(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK)
+        self.palette = MAPILLARY_19_PALETTE
+        self._undistort_maps: Dict[str, np.ndarray] = {}
+        for cam in cameras:
+            try:
+                self._undistort_maps[cam] = get_camera(cam).undistort_maps()
+            except KeyError:
+                pass
+            bus.subscribe(f"/{cam}/image_raw", self.image_callback)
+
+    def image_callback(self, msg: Message) -> None:
+        """Per-frame path (ref node:74-136)."""
+        camera = msg.frame_id
+        image = np.asarray(msg.data)
+        full_hw = (image.shape[0], image.shape[1])
+
+        x = preprocess_frame(
+            image,
+            undistort_map=self._undistort_maps.get(camera),
+            image_scale=self.image_scale,
+        )
+        labels = self.predictor.segmentation(np.asarray(x), upsample_pred=False)
+        labels_full = postprocess_labels(labels, full_hw)
+        semantic_rgb = np.asarray(colorize_labels(labels_full, self.palette))
+
+        self.bus.publish(
+            f"/{camera}/semantic", semantic_rgb, stamp=msg.stamp, frame_id=camera
+        )
+
+
+class MappingNode:
+    """Semantic image + pose + cloud -> global BEV map (ref mapping.py:39-355)."""
+
+    def __init__(self, cfg, bus: TopicBus, engine: Optional[SemanticMappingEngine] = None,
+                 record_inputs: bool = False):
+        self.cfg = cfg
+        self.bus = bus
+        self.engine = engine or SemanticMappingEngine(cfg)
+        self.grid = None
+        self.depth_method = cfg.MAPPING.DEPTH_METHOD
+        self.test_cut_time = cfg.TEST_END_TIME
+        self.label_colors = np.array(cfg.LABEL_COLORS, dtype=np.uint8)
+        self.record_inputs = record_inputs
+        self.input_list: List[FrameRecord] = []
+        self.save_map_to_file = False
+        self.finalized_map: Optional[np.ndarray] = None
+        self.eval_result: Optional[dict] = None
+
+        output_dir = resolve_output_dir(cfg.OUTPUT_DIR, cfg.TASK_NAME)
+        self.logger = MyLogger("mapping", save_dir=output_dir, use_timestamp=False)
+        self.output_dir = self.logger.save_dir
+
+        # time-sync queues (ref mapping.py:91-104)
+        self.pose_queue: List[Message] = []
+        self.pcd_queue: List[Message] = []
+
+        bus.subscribe("/current_pose", self.pose_callback)
+        bus.subscribe("/camera1/semantic", self.image_callback)
+        bus.subscribe("/camera6/semantic", self.image_callback)
+        if self.depth_method == "points_map":
+            bus.subscribe("/reduced_map", self.pcd_callback)
+        elif self.depth_method == "points_raw":
+            bus.subscribe("/points_raw", self.pcd_callback)
+
+    # -- callbacks -----------------------------------------------------------
+    def pcd_callback(self, msg: Message) -> None:
+        self.pcd_queue.append(msg)
+
+    def pose_callback(self, msg: Message) -> None:
+        self.pose_queue.append(msg)
+        if msg.stamp >= self.test_cut_time:
+            self.save_map_to_file = True
+
+    def _sync(self, queue: List[Message], target: float) -> Message:
+        idx = nearest_stamp_index([m.stamp for m in queue], target)
+        # drop everything before the bracketing window (ref :210-217)
+        del queue[: max(idx - 1, 0) if idx > 0 else 0]
+        return queue[min(idx, len(queue) - 1)] if len(queue) > 1 else queue[0]
+
+    def image_callback(self, msg: Message) -> None:
+        """Fuse one semantic frame (ref mapping.py:261-355)."""
+        if self.depth_method in ("points_map", "points_raw"):
+            if not self.pcd_queue:
+                return
+            pcd_msg = self._sync(self.pcd_queue, msg.stamp)
+        else:
+            pcd_msg = None
+        if not self.pose_queue:
+            return
+        pose_msg = self._sync(self.pose_queue, msg.stamp)
+
+        if self.grid is None:
+            self.grid = self.engine.init_grid()
+
+        position, quaternion = pose_msg.data
+        if pcd_msg is not None:
+            pcd = np.asarray(pcd_msg.data, dtype=np.float32)
+            if self.record_inputs:
+                self.input_list.append(
+                    FrameRecord(
+                        pcd=pcd, pcd_frame_id=pcd_msg.frame_id,
+                        semantic_image=np.asarray(msg.data),
+                        position=np.asarray(position),
+                        quaternion=np.asarray(quaternion),
+                        camera=msg.frame_id, stamp=msg.stamp,
+                    )
+                )
+            pcd_pad, valid = pad_points(pcd, self.engine.point_bucket)
+            self.grid, point_cls, point_vis = self.engine.step(
+                self.grid, pcd_pad, valid, np.asarray(msg.data),
+                position, quaternion, camera=msg.frame_id,
+                pcd_frame_id=pcd_msg.frame_id,
+            )
+            # labeled cloud for downstream consumers (ref :316-317)
+            self.bus.publish(
+                "/semantic_point_cloud",
+                (pcd_pad, np.asarray(point_cls), np.asarray(point_vis)),
+                stamp=msg.stamp, frame_id=pcd_msg.frame_id,
+            )
+        else:
+            # planar fallback (ref :321): ego-centric ground-plane warp
+            from ..geometry.transforms import pose_to_matrix
+
+            T_local_to_base = np.eye(4)
+            self.grid = self.engine.update_map_planar(
+                self.grid, np.asarray(msg.data), T_local_to_base, camera=msg.frame_id
+            )
+
+        if self.save_map_to_file:
+            self.finalize()
+
+    # -- finalization (ref mapping.py:323-355) -------------------------------
+    def finalize(self) -> np.ndarray:
+        if self.record_inputs and self.cfg.MAPPING.INPUT_DIR:
+            makedirs(self.cfg.MAPPING.INPUT_DIR, exist_ok=True)
+            save_frames(
+                self.input_list, osp.join(self.cfg.MAPPING.INPUT_DIR, "input_list.npz")
+            )
+
+        grid = apply_filter(self.grid)
+        color_map = np.asarray(render_bev_map(grid, self.label_colors))
+
+        makedirs(self.output_dir, exist_ok=True)
+        output_file = osp.join(self.output_dir, "global_map.png")
+        import cv2
+
+        cv2.imwrite(output_file, color_map)
+        self.logger.log(f"Saving image to {output_file}")
+
+        if self.cfg.GROUND_TRUTH_DIR:
+            from ..evaluation.map_eval import MapEvaluator
+
+            evaluator = MapEvaluator(
+                ground_truth_dir=self.cfg.GROUND_TRUTH_DIR, logger=self.logger
+            )
+            self.eval_result = evaluator.test_single_map(color_map)
+
+        self.bus.publish("/semantic_local_map", color_map)
+        self.finalized_map = color_map
+        self.save_map_to_file = False
+        return color_map

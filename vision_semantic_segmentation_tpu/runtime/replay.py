@@ -1,0 +1,121 @@
+"""Deterministic offline replay driver.
+
+Rebuild of `/root/reference/src/mapping_replay.py:146-211` — the ROS-free
+benchmark loop (SURVEY.md section 3.5): stream recorded frames through the
+fused mapping engine, then smooth, render, save ``global_map_<name>.png``
+and score against ground truth.
+
+TPU pipelining: engine steps are dispatched asynchronously (JAX's async
+dispatch), so the host prepares and transfers frame i+1 while the device
+fuses frame i; the grid lives in HBM for the whole sequence and only the
+final rendered map crosses back to the host.
+"""
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config.defaults import resolve_output_dir
+from ..mapping.engine import SemanticMappingEngine, pad_points
+from ..mapping.renderer import apply_filter, render_bev_map
+from ..utils.file_io import makedirs
+from ..utils.logger import MyLogger
+from .io import FrameRecord, iter_sequence_files, load_frames, load_reference_dump
+
+
+class MappingReplay:
+    """Replays recorded sequences through the mapping engine."""
+
+    def __init__(self, cfg, logger: Optional[MyLogger] = None, engine=None):
+        self.cfg = cfg
+        output_dir = resolve_output_dir(cfg.OUTPUT_DIR, cfg.TASK_NAME)
+        if logger is None:
+            logger = MyLogger("mapping_replay", save_dir=output_dir, use_timestamp=False)
+        self.logger = logger
+        self.output_dir = logger.save_dir or output_dir
+        self.engine = engine or SemanticMappingEngine(cfg)
+        self.input_dir = cfg.MAPPING.INPUT_DIR
+        self.label_colors = np.array(cfg.LABEL_COLORS, dtype=np.uint8)
+
+    # -- core loop -----------------------------------------------------------
+    def run_frames(self, frames: Sequence[FrameRecord]):
+        """Fuse a frame sequence into a fresh grid; returns the device grid."""
+        engine = self.engine
+        grid = engine.init_grid()
+        bucket = engine.point_bucket
+        for f in frames:
+            pcd, valid = pad_points(np.asarray(f.pcd, dtype=np.float32), bucket)
+            grid, _, _ = engine.step(
+                grid, pcd, valid, f.semantic_image, f.position, f.quaternion,
+                camera=f.camera, pcd_frame_id=f.pcd_frame_id,
+            )
+        return grid
+
+    def finalize(self, grid, name: str = "") -> np.ndarray:
+        """Smooth + render + save + evaluate (ref mapping_replay.py:194-211)."""
+        grid = apply_filter(grid)
+        color_map = np.asarray(render_bev_map(grid, self.label_colors))
+
+        makedirs(self.output_dir, exist_ok=True)
+        suffix = f"_{name}" if name else ""
+        output_file = osp.join(self.output_dir, f"global_map{suffix}.png")
+        self._imwrite(output_file, color_map)
+        self.logger.log(f"Saved map to {output_file}")
+
+        if self.cfg.GROUND_TRUTH_DIR:
+            from ..evaluation.map_eval import MapEvaluator
+
+            evaluator = MapEvaluator(
+                ground_truth_dir=self.cfg.GROUND_TRUTH_DIR, logger=self.logger
+            )
+            evaluator.test_single_map(color_map)
+        return color_map
+
+    @staticmethod
+    def _imwrite(path: str, array: np.ndarray) -> None:
+        import cv2
+
+        # NOTE: like the reference (mapping.py:340), the RGB array is handed
+        # to cv2.imwrite unchanged; imread returns the identical array, so
+        # the on-disk channel order quirk is round-trip consistent.
+        cv2.imwrite(path, array)
+
+    # -- entry points (ref :146-172) -----------------------------------------
+    def replay_file(self, path: str) -> np.ndarray:
+        name = osp.splitext(osp.basename(path))[0]
+        self.logger.log(f"Loading input file {path}")
+        if path.endswith(".npz"):
+            frames = load_frames(path)
+        else:
+            frames = load_reference_dump(path)
+        grid = self.run_frames(frames)
+        return self.finalize(grid, name)
+
+    def replay_dir(self, input_dir: Optional[str] = None) -> List[np.ndarray]:
+        input_dir = input_dir or self.input_dir
+        maps = []
+        for path in iter_sequence_files(input_dir):
+            maps.append(self.replay_file(path))
+        return maps
+
+
+def main():  # pragma: no cover - CLI entry (ref mapping_replay.py:321-329)
+    import argparse
+
+    from ..config import get_cfg_defaults
+
+    parser = argparse.ArgumentParser(description="Offline mapping replay")
+    parser.add_argument("--cfg", dest="config_file", default="", metavar="FILE")
+    args, _ = parser.parse_known_args()
+
+    cfg = get_cfg_defaults()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    MappingReplay(cfg).replay_dir()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
