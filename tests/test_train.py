@@ -1,0 +1,290 @@
+"""Training stack tests: transforms, loader, optim, checkpoint, trainer."""
+import os.path as osp
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+from PIL import Image
+
+from vision_semantic_segmentation_tpu.config import get_train_cfg_defaults
+from vision_semantic_segmentation_tpu.train import (
+    AverageMeter,
+    Checkpoint,
+    MeterLogger,
+    Trainer,
+    bn_mask,
+    build_optimizer,
+    build_schedule,
+    build_transform,
+    mask_frozen,
+    polynomial_lr_decay,
+)
+from vision_semantic_segmentation_tpu.train.datasets import DataLoader, Dataset
+from vision_semantic_segmentation_tpu.parallel import TrainState
+
+
+class TestTransforms:
+    def _sample(self, rng, size=(40, 30)):
+        img = Image.fromarray((rng.random((size[1], size[0], 3)) * 255).astype(np.uint8))
+        lbl = Image.fromarray((rng.random((size[1], size[0])) * 19).astype(np.uint8))
+        return {"image": img, "label": lbl}
+
+    def test_build_transform_from_cfg_tuples(self, rng):
+        aug = (
+            ("Resize", (32, 32)),
+            "RandomHorizontalFlip",
+            "ToTensor",
+            ("Normalize", (0.485, 0.456, 0.406), (0.229, 0.224, 0.225), True),
+        )
+        transform = build_transform(aug)
+        out = transform(self._sample(rng))
+        assert out["image"].shape == (32, 32, 3)
+        assert out["label"].shape == (32, 32)
+        assert out["image"].dtype == np.float32
+        # normalized: roughly centered
+        assert abs(out["image"].mean()) < 3
+
+    def test_resize_label_nearest(self, rng):
+        sample = self._sample(rng)
+        transform = build_transform((("Resize", (64, 64)), "ToTensor"))
+        out = transform(sample)
+        src_labels = set(np.unique(np.asarray(sample["label"])))
+        assert set(np.unique(out["label"])) <= src_labels
+
+    def test_random_size_and_crop(self, rng):
+        transform = build_transform((("RandomSizeAndCrop", 24, (0.8, 1.2)), "ToTensor"))
+        out = transform(self._sample(rng))
+        assert out["image"].shape[0] == 24 and out["image"].shape[1] == 24
+
+    def test_center_crop_with_pad(self, rng):
+        transform = build_transform((("CenterCropWithPad", 64, 255), "ToTensor"))
+        out = transform(self._sample(rng, size=(30, 20)))
+        assert out["image"].shape[:2] == (64, 64)
+        assert (out["label"] == 255).any()  # padded region is ignore_index
+
+
+class _ArrayDataset(Dataset):
+    def __init__(self, n=20, seed=0):
+        rng = np.random.default_rng(seed)
+        self.images = rng.standard_normal((n, 16, 16, 3)).astype(np.float32)
+        self.labels = rng.integers(0, 5, (n, 16, 16)).astype(np.int32)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return {"image": self.images[i], "label": self.labels[i]}
+
+
+class TestDataLoader:
+    def test_batching_drop_last(self):
+        loader = DataLoader(_ArrayDataset(20), batch_size=8, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["image"].shape == (8, 16, 16, 3)
+
+    def test_keep_last(self):
+        loader = DataLoader(_ArrayDataset(20), batch_size=8, drop_last=False)
+        batches = list(loader)
+        assert len(batches) == 3
+        assert batches[-1]["image"].shape[0] == 4
+
+    def test_sharding_covers_all(self):
+        ds = _ArrayDataset(24)
+        seen = []
+        for shard in range(3):
+            loader = DataLoader(ds, batch_size=4, num_shards=3, shard_index=shard)
+            for b in loader:
+                seen.append(b["image"])
+        total = np.concatenate(seen)
+        assert total.shape[0] == 24
+
+    def test_shuffle_changes_with_epoch(self):
+        loader = DataLoader(_ArrayDataset(20), batch_size=20, shuffle=True)
+        loader.set_epoch(0)
+        a = next(iter(loader))["image"]
+        loader.set_epoch(1)
+        b = next(iter(loader))["image"]
+        assert not np.allclose(a, b)
+
+    def test_workers(self):
+        loader = DataLoader(_ArrayDataset(20), batch_size=5, num_workers=2)
+        assert sum(b["image"].shape[0] for b in loader) == 20
+
+
+class TestOptim:
+    def test_poly_lr_matches_reference_formula(self):
+        # ref lr_scheduler.py:36-54 golden check
+        base_lr, max_iter, power = 0.1, 30, 0.9
+        schedule = polynomial_lr_decay(base_lr, max_iter, power)
+        for i in range(max_iter):
+            expected = base_lr * (1 - i / max_iter) ** power
+            assert float(schedule(i)) == pytest.approx(expected, rel=1e-5)
+        # frozen past max_iter
+        assert float(schedule(max_iter + 5)) == pytest.approx(float(schedule(max_iter - 1)))
+
+    def test_sgd_matches_torch(self):
+        import torch
+
+        cfg = get_train_cfg_defaults()
+        cfg.OPTIMIZER.TYPE = "SGD"
+        cfg.OPTIMIZER.BASE_LR = 0.1
+        cfg.OPTIMIZER.WEIGHT_DECAY = 0.01
+        cfg.OPTIMIZER.SGD.momentum = 0.9
+
+        w0 = np.array([1.0, -2.0, 3.0], np.float32)
+        grads = [np.array([0.1, 0.2, -0.3], np.float32) for _ in range(3)]
+
+        tx = build_optimizer(cfg)
+        params = {"w": jnp.asarray(w0)}
+        opt_state = tx.init(params)
+        for g in grads:
+            updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+        wt = torch.nn.Parameter(torch.tensor(w0))
+        opt = torch.optim.SGD([wt], lr=0.1, momentum=0.9, weight_decay=0.01)
+        for g in grads:
+            opt.zero_grad()
+            wt.grad = torch.tensor(g)
+            opt.step()
+        np.testing.assert_allclose(np.asarray(params["w"]), wt.detach().numpy(), atol=1e-6)
+
+    def test_adam_builds(self):
+        cfg = get_train_cfg_defaults()
+        cfg.OPTIMIZER.TYPE = "Adam"
+        cfg.SCHEDULER.TYPE = "PolyLRDecay"
+        tx = build_optimizer(cfg, build_schedule(cfg))
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.ones(3)}, state, params)
+        assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+class TestMeters:
+    def test_average_meter(self):
+        m = AverageMeter(window_size=2)
+        m.update(1.0)
+        m.update(2.0)
+        m.update(3.0)
+        assert m.global_avg == pytest.approx(2.0)
+        assert m.avg == pytest.approx(2.5)  # windowed over last 2
+
+    def test_meter_logger(self):
+        ml = MeterLogger()
+        ml.update(loss=1.0, acc=np.array([1.0, 0.0]))
+        assert "loss" in str(ml) and "acc" in str(ml)
+        assert ml.meters["acc"].global_avg == pytest.approx(0.5)
+
+
+class TestFreezer:
+    def test_bn_mask(self):
+        params = {
+            "conv1": {"kernel": np.zeros(1)},
+            "bn1": {"scale": np.zeros(1), "bias": np.zeros(1)},
+            "layer1_0": {"bn2": {"scale": np.zeros(1)}},
+        }
+        mask = bn_mask(params)
+        assert mask["bn1"]["scale"] is True
+        assert mask["layer1_0"]["bn2"]["scale"] is True
+        assert mask["conv1"]["kernel"] is False
+
+    def test_mask_frozen_zeroes_updates(self):
+        params = {"conv": {"kernel": jnp.ones(2)}, "bn": {"scale": jnp.ones(2)}}
+        tx = mask_frozen(optax.sgd(1.0), params, freeze_batchnorm=True)
+        state = tx.init(params)
+        grads = {"conv": {"kernel": jnp.ones(2)}, "bn": {"scale": jnp.ones(2)}}
+        updates, _ = tx.update(grads, state, params)
+        assert np.all(np.asarray(updates["bn"]["scale"]) == 0)
+        assert np.all(np.asarray(updates["conv"]["kernel"]) != 0)
+
+
+class TestCheckpoint:
+    def _make_state(self):
+        import flax.linen as nn
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False, upsample_pred=True):
+                return nn.Dense(4)(x)
+
+        model = Tiny()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+        tx = optax.sgd(0.1)
+        return TrainState.create(model, dict(variables), tx, jax.random.PRNGKey(1))
+
+    def test_save_load_roundtrip(self, tmp_path):
+        state = self._make_state()
+        ckpt = Checkpoint(state, save_dir=str(tmp_path))
+        ckpt.save("model_000", best_metric=0.5)
+        assert ckpt.has_checkpoint()
+        assert osp.basename(ckpt.get_checkpoint_file()) == "model_000"
+
+        # perturb then restore
+        state2 = state.replace(
+            params=jax.tree.map(lambda x: x + 1.0, state.params),
+            step=state.step + 10,
+        )
+        ckpt2 = Checkpoint(state2, save_dir=str(tmp_path))
+        extras = ckpt2.load(resume=True, resume_states=True)
+        assert float(extras["best_metric"]) == pytest.approx(0.5)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(ckpt2.state.params)[0]),
+            np.asarray(jax.tree.leaves(state.params)[0]),
+        )
+        assert int(ckpt2.state.step) == 0
+
+    def test_weights_only_resume(self, tmp_path):
+        state = self._make_state()
+        ckpt = Checkpoint(state, save_dir=str(tmp_path))
+        ckpt.save("model_latest")
+        state2 = self._make_state().replace(step=jnp.asarray(7, jnp.int32))
+        ckpt2 = Checkpoint(state2, save_dir=str(tmp_path))
+        ckpt2.load(resume=True, resume_states=False)
+        assert int(ckpt2.state.step) == 7  # optimizer/step untouched
+
+
+class TestTrainerEndToEnd:
+    def test_loss_decreases_on_tiny_problem(self, tmp_path):
+        cfg = get_train_cfg_defaults()
+        cfg.MODEL.TYPE = "Dummy"
+        cfg.DATASET.NUM_CLASSES = 3
+        cfg.DATASET.IN_CHANNELS = 3
+        cfg.OPTIMIZER.TYPE = "SGD"
+        cfg.OPTIMIZER.BASE_LR = 0.1
+        cfg.OPTIMIZER.SGD.momentum = 0.9
+        cfg.SCHEDULER.TYPE = "PolyLRDecay"
+        cfg.SCHEDULER.PolyLRDecay.max_iter = 100
+        cfg.SCHEDULER.MAX_EPOCH = 3
+        cfg.TRAIN.BATCH_SIZE = 8
+
+        trainer = Trainer(cfg, output_dir=str(tmp_path))
+
+        # learnable toy task: label = quadrant of a strong color signal
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 3, (16, 16, 16)).astype(np.int32)
+        images = np.eye(3, dtype=np.float32)[labels] * 3.0
+        images += rng.standard_normal(images.shape).astype(np.float32) * 0.1
+
+        class Loader:
+            def __init__(self):
+                self.epoch = 0
+
+            def set_epoch(self, e):
+                self.epoch = e
+
+            def __len__(self):
+                return 2
+
+            def __iter__(self):
+                for i in range(2):
+                    yield {"image": images[i * 8 : (i + 1) * 8], "label": labels[i * 8 : (i + 1) * 8]}
+
+        first = trainer.train_one_epoch(Loader(), 0)
+        loss0 = first.meters["loss"].global_avg
+        for epoch in range(1, 4):
+            meters = trainer.train_one_epoch(Loader(), epoch)
+        assert meters.meters["loss"].global_avg < loss0
+        assert trainer.train_metric.global_avg > 0.5

@@ -162,10 +162,14 @@ class SemanticMappingEngine:
         return jnp.zeros(self.grid_spec.shape, dtype=jnp.float32)
 
     # -- fused frame step ----------------------------------------------------
-    def _build_step(self, camera_id: str, pcd_in_velodyne_frame: bool):
+    def _build_pointwise(self, camera_id: str, pcd_in_velodyne_frame: bool):
+        """Closure computing per-point (cell, cls, vis, upd, boost).
+
+        Shared between the single-device step and the grid-sharded step
+        (parallel/grid_shard.py).
+        """
         P = jnp.asarray(self.cameras[camera_id].P, dtype=jnp.float32)
         T_v2b = jnp.asarray(self.T_velodyne_to_baselink, dtype=jnp.float32)
-        evidence_T = jnp.asarray(self.evidence.T)  # row i = evidence column i
         label_colors = jnp.asarray(self.label_colors)
         offset = jnp.asarray(PCD_ORIGIN_OFFSET[:2, None], dtype=jnp.float32)
         spec = self.grid_spec
@@ -177,10 +181,8 @@ class SemanticMappingEngine:
         lane = self.lane_channel
         use_intensity = self.use_intensity and lane >= 0
         range_max = self.range_max
-        dedupe = self.duplicate_semantics == "reference"
 
-        @jax.jit
-        def step(grid, pcd, valid, image, position, quaternion):
+        def pointwise(pcd, valid, image, position, quaternion):
             xyz = pcd[0:3].astype(jnp.float32)
             intensity = pcd[3]
 
@@ -221,10 +223,32 @@ class SemanticMappingEngine:
             )
             cell = cell_rc[0] * w + cell_rc[1]
 
+            upd = vis & on_grid & (cls >= 0)
+            if use_intensity:
+                boost = upd & (cls == lane) & ((intensity < 2) | (intensity > 14))
+            else:
+                boost = None
+            return cell, cls, vis, upd, boost
+
+        return pointwise
+
+    def _build_step(self, camera_id: str, pcd_in_velodyne_frame: bool):
+        pointwise = self._build_pointwise(camera_id, pcd_in_velodyne_frame)
+        evidence_T = jnp.asarray(self.evidence.T)  # row i = evidence column i
+        spec = self.grid_spec
+        h, w = spec.height, spec.width
+        lane = self.lane_channel
+        use_intensity = self.use_intensity and lane >= 0
+        dedupe = self.duplicate_semantics == "reference"
+
+        @jax.jit
+        def step(grid, pcd, valid, image, position, quaternion):
+            cell, cls, vis, upd, boost = pointwise(
+                pcd, valid, image, position, quaternion
+            )
+
             # Bayesian update: add the confusion-matrix column of the
             # observed class to the cell (ref :414-424)
-            upd = vis & on_grid & (cls >= 0)
-
             if dedupe:
                 # PARITY QUIRK (load-bearing): the reference updates with
                 # numpy fancy-index ``+=`` (ref mapping.py:424,437), which
@@ -251,7 +275,6 @@ class SemanticMappingEngine:
             # LiDAR intensity lane boost (ref :427-437): retro-reflective
             # returns (paint) have extreme intensities; +2 evidence
             if use_intensity:
-                boost = upd & (cls == lane) & ((intensity < 2) | (intensity > 14))
                 if dedupe:
                     bkey = jnp.where(boost, cell, h * w)
                     border = jnp.argsort(bkey)

@@ -1,0 +1,31 @@
+from .mesh import (
+    create_mesh,
+    data_sharding,
+    grid_row_sharding,
+    replicated,
+    shard_batch,
+)
+from .train_step import (
+    TrainState,
+    jit_eval_step,
+    jit_train_step,
+    make_eval_step,
+    make_train_step,
+)
+from .grid_shard import gather_grid, init_sharded_grid, make_sharded_step
+
+__all__ = [
+    "create_mesh",
+    "data_sharding",
+    "grid_row_sharding",
+    "replicated",
+    "shard_batch",
+    "TrainState",
+    "jit_eval_step",
+    "jit_train_step",
+    "make_eval_step",
+    "make_train_step",
+    "gather_grid",
+    "init_sharded_grid",
+    "make_sharded_step",
+]

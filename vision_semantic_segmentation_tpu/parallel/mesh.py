@@ -1,0 +1,63 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's parallelism surface is DataParallel / DDP+NCCL
+(SURVEY.md section 2.11).  The TPU-native replacement is one global
+``jax.sharding.Mesh`` whose axes are:
+
+  * ``data`` — batch data parallelism (DDP equivalent; gradient psum is
+    implicit in XLA SPMD over ICI)
+  * ``grid`` — spatial sharding of the BEV map rows (the framework's
+    context-parallel analogue, SURVEY.md section 5)
+
+No process groups, no rendezvous code: multi-host launch reduces to
+``jax.distributed.initialize()`` before mesh creation.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    axis_sizes: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a mesh over the available devices.
+
+    Args:
+        axis_sizes: size per axis; defaults to all devices on one axis.
+        axis_names: e.g. ('data',) or ('data', 'grid').
+    """
+    if devices is None:
+        devices = jax.devices()
+    if axis_sizes is None:
+        axis_sizes = (len(devices),) + (1,) * (len(axis_names) - 1)
+    assert int(np.prod(axis_sizes)) == len(devices), (
+        f"mesh {tuple(axis_sizes)} != {len(devices)} devices"
+    )
+    device_array = np.asarray(devices).reshape(axis_sizes)
+    return Mesh(device_array, axis_names)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Batch-dim sharding: leading axis split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def grid_row_sharding(mesh: Mesh, axis: str = "grid") -> NamedSharding:
+    """BEV grid sharding: rows (the x/boundary axis) split over devices."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host batch onto the mesh, sharded along the leading dim."""
+    sharding = data_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

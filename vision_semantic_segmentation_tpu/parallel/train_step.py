@@ -1,0 +1,148 @@
+"""SPMD data-parallel training step.
+
+Replaces the reference's two training paths — ``nn.DataParallel``
+(train.py:173) and DDP+NCCL (distributed_train.py:201-369) — with ONE
+jitted step over a device mesh:
+
+  * the batch is sharded along the mesh ``data`` axis; parameters and
+    optimizer state are replicated;
+  * gradient all-reduce is implicit: XLA inserts the psum over ICI when
+    the mean loss contracts the sharded batch dim (no DDP wrapper, no
+    process groups, no barriers);
+  * BatchNorm statistics are computed over the *global* logical batch
+    inside jit — SyncBatchNorm semantics by construction (MODEL.SYNC_BN,
+    ref models/build.py:69-70, is the natural default on TPU);
+  * metric reduction (the reference's all_reduce of the confusion matrix,
+    metrics.py:64-70) is just part of the same compiled program.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.loss import cross_entropy_loss
+from ..models.metrics import confusion_matrix_update
+
+Array = jnp.ndarray
+
+
+class TrainState(struct.PyTreeNode):
+    """Functional training state (params + BN stats + optimizer + rng)."""
+
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, model, variables, tx, rng):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            rng=rng,
+            tx=tx,
+            apply_fn=model.apply,
+        )
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def make_train_step(
+    num_classes: int,
+    ignore_index: int = 255,
+    max_grad_norm: float = 0.0,
+) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
+    """Build the fused train step (fwd + loss + bwd + update + metrics).
+
+    The returned function is pure; jit it with sharded-batch in_shardings
+    (see :func:`jit_train_step`) to get data parallelism.
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, Array]):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=True,
+                upsample_pred=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            loss = cross_entropy_loss(logits, batch["label"], ignore_index=ignore_index)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if max_grad_norm > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, max_grad_norm / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+            rng=rng,
+        )
+        metrics = {
+            "loss": loss,
+            "confusion": confusion_matrix_update(logits, batch["label"], num_classes),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(num_classes: int, ignore_index: int = 255):
+    """Validation step: forward + loss + confusion matrix, no updates."""
+
+    def eval_step(state: TrainState, batch: Dict[str, Array]):
+        logits = state.apply_fn(
+            state.variables, batch["image"], train=False, upsample_pred=True
+        )
+        loss = cross_entropy_loss(logits, batch["label"], ignore_index=ignore_index)
+        return {
+            "loss": loss,
+            "confusion": confusion_matrix_update(logits, batch["label"], num_classes),
+        }
+
+    return eval_step
+
+
+def jit_train_step(train_step: Callable, mesh: Mesh, axis: str = "data"):
+    """jit with data-parallel shardings: batch split on ``axis``, state replicated."""
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        train_step,
+        in_shardings=(replicated, batch_sharded),
+        out_shardings=(replicated, replicated),
+    )
+
+
+def jit_eval_step(eval_step: Callable, mesh: Mesh, axis: str = "data"):
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        eval_step,
+        in_shardings=(replicated, batch_sharded),
+        out_shardings=replicated,
+    )

@@ -1,0 +1,126 @@
+"""Checkpoint/resume on Orbax.
+
+Rebuild of `/root/reference/src/network/core/utils/checkpoint.py:6-129`
+with the same contract — named checkpoints, a ``last_checkpoint`` pointer
+file, AUTO_RESUME / RESUME_STATES semantics, best-metric tracking — but
+saving the functional TrainState (params + BN stats + optimizer state +
+PRNG key + step) through ``orbax.checkpoint``, which handles sharded
+arrays and atomic directory commits.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+from typing import Any, Dict, Optional
+
+import json
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class Checkpoint:
+    """Named-checkpoint manager with a ``last_checkpoint`` pointer."""
+
+    def __init__(self, state, save_dir: str = ".", logger=None):
+        self.save_dir = osp.abspath(save_dir)
+        self.logger = logger or logging.getLogger(__name__)
+        self.state = state
+        self._checkpointer = ocp.StandardCheckpointer()
+
+    # -- save ----------------------------------------------------------------
+    def save(self, filename: str, **kwargs) -> None:
+        """Save the current state (+ extras) under ``save_dir/filename``."""
+        if not self.save_dir or not filename:
+            self.logger.warning("Invalid save directory or filename")
+            return
+        os.makedirs(self.save_dir, exist_ok=True)
+        path = osp.join(self.save_dir, filename)
+
+        payload = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "rng": self.state.rng,
+        }
+        self.logger.info(f"Saving checkpoint to {path}")
+        self._checkpointer.save(path, payload, force=True)
+        # StandardCheckpointer saves asynchronously; block so the pointer
+        # file never references an uncommitted checkpoint
+        self._checkpointer.wait_until_finished()
+        # extras (arbitrary scalars, e.g. best_metric) ride in a side file
+        with open(path + ".extras.json", "w") as f:
+            json.dump({k: float(np.asarray(v)) for k, v in kwargs.items()}, f)
+        self.update_last_checkpoint(path)
+
+    # -- load ----------------------------------------------------------------
+    def load(
+        self,
+        filename: Optional[str] = None,
+        resume: bool = True,
+        resume_states: bool = True,
+    ) -> Dict[str, Any]:
+        """Load a checkpoint; returns any extra data saved with it.
+
+        Args mirror the reference (ref checkpoint.py:66-100): ``resume``
+        prefers the last_checkpoint pointer over ``filename``;
+        ``resume_states`` restores optimizer/step/rng as well as weights.
+        """
+        if resume and self.has_checkpoint():
+            filename = self.get_checkpoint_file()
+        if not filename:
+            self.logger.info("No checkpoint found. Initializing model from scratch")
+            return {}
+        self.logger.info(f"Loading checkpoint from {filename}")
+
+        template = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "rng": self.state.rng,
+        }
+        restored = self._checkpointer.restore(filename, template)
+
+        updates = {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+        }
+        if resume_states:
+            updates.update(
+                opt_state=restored["opt_state"],
+                step=restored["step"],
+                rng=restored["rng"],
+            )
+        self.state = self.state.replace(**updates)
+        extras = {}
+        if resume_states and osp.exists(filename + ".extras.json"):
+            with open(filename + ".extras.json") as f:
+                extras = json.load(f)
+        return extras
+
+    # -- pointer file (ref checkpoint.py:102-129) ----------------------------
+    def has_checkpoint(self) -> bool:
+        return osp.exists(osp.join(self.save_dir, "last_checkpoint"))
+
+    def get_checkpoint_file(self) -> str:
+        pointer = osp.join(self.save_dir, "last_checkpoint")
+        try:
+            with open(pointer) as f:
+                last_saved = f.read().strip()
+            if last_saved and not osp.isabs(last_saved):
+                last_saved = osp.join(self.save_dir, last_saved)
+        except IOError:
+            last_saved = ""
+        return last_saved
+
+    def update_last_checkpoint(self, last_filename: str) -> None:
+        if not osp.isabs(last_filename):
+            last_filename = osp.basename(last_filename)
+        else:
+            last_filename = osp.basename(last_filename)
+        with open(osp.join(self.save_dir, "last_checkpoint"), "w") as f:
+            f.write(last_filename)

@@ -1,0 +1,200 @@
+"""Training driver.
+
+Rebuild of the reference's two entry points in one:
+  * single-node train loop (`/root/reference/src/network/deeplab_v3_plus/train.py:56-280`)
+  * DDP distributed training (`.../distributed_train.py:201-369`)
+
+On TPU both collapse into the same SPMD program: the Trainer jits ONE
+train step over a device mesh (1 device = the single-GPU path, N devices
+= the DDP path) — no DataParallel wrapper, no process groups, no barriers,
+no master-only branches (every host computes identical replicated
+metrics).  Per-epoch structure, periodic logging/validation/checkpointing
+and best-mIoU tracking mirror the reference.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..models.build import build_model
+from ..models.metrics import miou_from_confusion
+from ..parallel.mesh import create_mesh, shard_batch
+from ..parallel.train_step import (
+    TrainState,
+    jit_eval_step,
+    jit_train_step,
+    make_eval_step,
+    make_train_step,
+)
+from ..utils.seed import set_random_seed
+from .build import build_dataloader
+from .checkpoint import Checkpoint
+from .freezer import mask_frozen
+from .meters import MeterLogger
+from .optim import build_optimizer, build_schedule
+
+
+class Trainer:
+    """Config-driven trainer (ref train.py:163-243)."""
+
+    def __init__(self, cfg, output_dir: str = "", logger=None, mesh=None,
+                 tensorboard: bool = False):
+        self.cfg = cfg
+        self.output_dir = output_dir
+        self.logger = logger
+        self.mesh = mesh if mesh is not None else create_mesh(axis_names=("data",))
+
+        rng = set_random_seed(cfg.RNG_SEED) or jax.random.PRNGKey(0)
+
+        # model + loss + metrics (ref train.py:171)
+        self.model, self.loss_fn, self.train_metric, self.val_metric = build_model(cfg)
+        init_rng, state_rng = jax.random.split(rng)
+        sample = jax.numpy.zeros((1, 65, 65, cfg.DATASET.IN_CHANNELS), jax.numpy.float32)
+        variables = self.model.init(init_rng, sample, train=False)
+
+        # optimizer + schedule (ref train.py:176-179)
+        schedule = build_schedule(cfg)
+        tx = build_optimizer(cfg, schedule)
+        if cfg.TRAIN.FROZEN_PATTERNS or cfg.TRAIN.FREEZE_BATCHNORM:
+            tx = mask_frozen(
+                tx, variables["params"],
+                patterns=tuple(cfg.TRAIN.FROZEN_PATTERNS),
+                freeze_batchnorm=cfg.TRAIN.FREEZE_BATCHNORM,
+            )
+        self.schedule = schedule
+        self.state = TrainState.create(self.model, variables, tx, state_rng)
+
+        # jitted steps over the mesh
+        num_classes = cfg.DATASET.NUM_CLASSES
+        self._train_step = jit_train_step(
+            make_train_step(num_classes, max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM),
+            self.mesh,
+        )
+        self._eval_step = jit_eval_step(make_eval_step(num_classes), self.mesh)
+
+        # checkpointing (ref train.py:188-195)
+        self.checkpoint = Checkpoint(self.state, save_dir=output_dir or ".", logger=logger)
+        self.best_metric = float("-inf")
+
+        self._tb = None
+        if tensorboard and output_dir:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(output_dir)
+            except ImportError:
+                pass
+
+    # -- helpers -------------------------------------------------------------
+    def _log(self, msg: str) -> None:
+        if self.logger is not None:
+            self.logger.info(msg) if hasattr(self.logger, "info") else self.logger.log(msg)
+        else:
+            print(msg)
+
+    def resume(self) -> Dict:
+        """AUTO_RESUME / RESUME_STATES handling (ref train.py:194-199)."""
+        extras = self.checkpoint.load(
+            filename=self.cfg.MODEL.WEIGHT or None,
+            resume=self.cfg.AUTO_RESUME,
+            resume_states=self.cfg.RESUME_STATES,
+        )
+        self.state = self.checkpoint.state
+        if "best_metric" in extras:
+            self.best_metric = float(extras["best_metric"])
+        return extras
+
+    # -- epoch loops (ref train.py:56-161) -----------------------------------
+    def train_one_epoch(self, dataloader, epoch: int) -> MeterLogger:
+        meters = MeterLogger()
+        self.train_metric.reset()
+        log_period = self.cfg.TRAIN.LOG_PERIOD
+        end = time.perf_counter()
+
+        for iteration, batch in enumerate(dataloader):
+            data_time = time.perf_counter() - end
+            batch = shard_batch(self.mesh, {
+                "image": np.asarray(batch["image"], np.float32),
+                "label": np.asarray(batch["label"], np.int32),
+            })
+            self.state, metrics = self._train_step(self.state, batch)
+            loss = float(metrics["loss"])
+            self.train_metric.merge(np.asarray(metrics["confusion"]))
+            batch_time = time.perf_counter() - end
+            end = time.perf_counter()
+
+            meters.update(loss=loss, data_time=data_time, batch_time=batch_time)
+            if log_period and iteration % log_period == 0:
+                lr = (
+                    float(self.schedule(int(self.state.step)))
+                    if self.schedule is not None
+                    else self.cfg.OPTIMIZER.BASE_LR
+                )
+                self._log(
+                    f"Epoch[{epoch}] iter[{iteration}] lr {lr:.5f} {meters} "
+                    f"mIoU {self.train_metric.global_avg:.4f}"
+                )
+        return meters
+
+    def validate(self, dataloader, epoch: int) -> float:
+        self.val_metric.reset()
+        meters = MeterLogger()
+        for batch in dataloader:
+            batch = shard_batch(self.mesh, {
+                "image": np.asarray(batch["image"], np.float32),
+                "label": np.asarray(batch["label"], np.int32),
+            })
+            metrics = self._eval_step(self.state, batch)
+            meters.update(loss=float(metrics["loss"]))
+            self.val_metric.merge(np.asarray(metrics["confusion"]))
+        miou = self.val_metric.global_avg
+        self._log(f"Validation epoch[{epoch}] {meters} mIoU {miou:.4f}")
+        if self._tb is not None:
+            self._tb.add_scalar("val/miou", miou, epoch)
+        return miou
+
+    def fit(self, train_loader=None, val_loader=None) -> None:
+        """Full schedule: epochs + periodic validate + checkpoints
+
+        (ref train.py:207-243).
+        """
+        cfg = self.cfg
+        if train_loader is None:
+            train_loader = build_dataloader(cfg, mode="train")
+        if val_loader is None and cfg.VALIDATE.PERIOD:
+            val_loader = build_dataloader(cfg, mode="val")
+
+        self.resume()
+        start_epoch = int(self.state.step) // max(len(train_loader), 1)
+
+        for epoch in range(start_epoch, cfg.SCHEDULER.MAX_EPOCH):
+            train_loader.set_epoch(epoch)
+            meters = self.train_one_epoch(train_loader, epoch)
+            self._log(f"Epoch[{epoch}] done: {meters.summary_str}")
+            if self._tb is not None:
+                self._tb.add_scalar("train/loss", meters.meters["loss"].global_avg, epoch)
+
+            self.checkpoint.state = self.state
+            if cfg.TRAIN.CHECKPOINT_PERIOD and (epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0:
+                self.checkpoint.save(f"model_{epoch:03d}", best_metric=self.best_metric)
+            self.checkpoint.save("model_latest", best_metric=self.best_metric)
+
+            if val_loader is not None and cfg.VALIDATE.PERIOD and (
+                (epoch + 1) % cfg.VALIDATE.PERIOD == 0
+            ):
+                miou = self.validate(val_loader, epoch)
+                if miou > self.best_metric:
+                    self.best_metric = miou
+                    self.checkpoint.state = self.state
+                    self.checkpoint.save("model_best", best_metric=self.best_metric)
+                    self._log(f"New best mIoU {miou:.4f}")
+
+
+def train(cfg, output_dir: str = "", logger=None) -> Trainer:
+    """Functional entry point (ref train.py:163)."""
+    trainer = Trainer(cfg, output_dir=output_dir, logger=logger)
+    trainer.fit()
+    return trainer
