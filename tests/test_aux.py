@@ -1,0 +1,235 @@
+"""Tests for auxiliary subsystems: ROS glue, markers, prep tools, viz, pcd."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from vision_semantic_segmentation_tpu.utils import (
+    TransformTree,
+    create_point_cloud,
+    pack_rgba,
+    pointcloud_to_bev,
+    read_pcd,
+    unpack_rgba,
+    visualize_marker,
+)
+from vision_semantic_segmentation_tpu.utils.markers import hull_markers
+
+
+class TestPointCloudPacking:
+    def test_pack_matches_struct(self, rng):
+        import struct
+
+        rgb = (rng.random((10, 3)) * 255).astype(np.uint8)
+        packed = pack_rgba(rgb)
+        for i in range(10):
+            expected = struct.unpack(
+                "I", struct.Struct("BBBB").pack(int(rgb[i, 0]), int(rgb[i, 1]), int(rgb[i, 2]), 255)
+            )[0]
+            assert int(packed[i]) == expected  # exact reference packing (utils_ros.py:51)
+
+    def test_roundtrip(self, rng):
+        rgb = (rng.random((5, 3)) * 255).astype(np.uint8)
+        back = unpack_rgba(pack_rgba(rgb))
+        np.testing.assert_array_equal(back[:, :3], rgb)
+        assert (back[:, 3] == 255).all()
+
+    def test_create_point_cloud(self, rng):
+        xyz = rng.random((7, 3)).astype(np.float32)
+        rgb = (rng.random((7, 3)) * 255).astype(np.uint8)
+        pc = create_point_cloud(xyz, rgb, frame_id="velodyne")
+        assert pc["frame_id"] == "velodyne"
+        assert pc["fields"] == ["x", "y", "z", "rgba"]
+        np.testing.assert_allclose(pc["data"]["x"], xyz[:, 0])
+        assert pc["data"].dtype.itemsize == 16  # PointCloud2 xyz+rgba layout
+
+    def test_no_rgb(self, rng):
+        pc = create_point_cloud(rng.random((3, 3)))
+        assert pc["fields"] == ["x", "y", "z"]
+
+
+class TestTransformTree:
+    def test_lookup_chain(self):
+        from vision_semantic_segmentation_tpu.geometry import euler_matrix
+
+        tree = TransformTree()
+        T_wb = euler_matrix(0, 0, 0.5)
+        T_wb[:3, 3] = [1, 2, 0]
+        T_bv = np.eye(4)
+        T_bv[:3, 3] = [2.64, 0, 1.98]
+        tree.set_transform("world", "base_link", T_wb)
+        tree.set_transform("base_link", "velodyne", T_bv)
+
+        T = tree.lookup("world", "velodyne")  # p_world = T @ p_velodyne
+        np.testing.assert_allclose(T, T_wb @ T_bv, atol=1e-12)
+        T_inv = tree.lookup("velodyne", "world")
+        np.testing.assert_allclose(T_inv @ T, np.eye(4), atol=1e-10)
+
+    def test_disconnected_raises(self):
+        tree = TransformTree()
+        tree.set_transform("a", "b", np.eye(4))
+        with pytest.raises(LookupError):
+            tree.lookup("a", "z")
+
+    def test_set_pose(self):
+        tree = TransformTree()
+        tree.set_pose([1.0, 2.0, 3.0], [0, 0, 0, 1.0], "world", "global_map")
+        T = tree.lookup("world", "global_map")
+        np.testing.assert_allclose(T[:3, 3], [1, 2, 3], atol=1e-6)
+
+
+class TestMarkers:
+    def test_basic(self):
+        m = visualize_marker((1, 2, 3), mtype="sphere", color=(0, 1, 0, 1))
+        assert m.marker_type == "sphere"
+        assert m.position == (1.0, 2.0, 3.0)
+
+    def test_hull_markers(self):
+        loop = np.array([[0, 5, 5, 0, 0], [0, 0, 5, 5, 0]], dtype=float)
+        markers = hull_markers([loop])
+        assert markers[0].marker_type == "line_strip"
+        assert markers[0].points.shape == (5, 3)
+
+    def test_unknown_type(self):
+        with pytest.raises(ValueError):
+            visualize_marker((0, 0, 0), mtype="banana")
+
+
+class TestConvexHull:
+    def test_square_blob(self):
+        from vision_semantic_segmentation_tpu.inference import generate_convex_hull
+
+        img = np.zeros((60, 60), np.int32)
+        img[10:40, 15:45] = 2
+        hulls = generate_convex_hull(img, index_care_about=2, area_threshold=10)
+        assert len(hulls) == 1
+        loop = hulls[0]
+        assert loop.shape[0] == 2
+        # closed loop
+        np.testing.assert_array_equal(loop[:, 0], loop[:, -1])
+        # hull contains the eroded blob corners (erosion shrinks by 1)
+        xs, ys = loop[0], loop[1]
+        assert xs.min() >= 15 and xs.max() <= 44
+        assert ys.min() >= 10 and ys.max() <= 39
+
+    def test_empty(self):
+        from vision_semantic_segmentation_tpu.inference import generate_convex_hull
+
+        assert generate_convex_hull(np.zeros((20, 20), np.int32)) == []
+
+    def test_zero_index_rejected(self):
+        from vision_semantic_segmentation_tpu.inference import generate_convex_hull
+
+        with pytest.raises(ValueError):
+            generate_convex_hull(np.zeros((5, 5), np.int32), index_care_about=0)
+
+    def test_area_threshold(self):
+        from vision_semantic_segmentation_tpu.inference import generate_convex_hull
+
+        img = np.zeros((30, 30), np.int32)
+        img[2:6, 2:6] = 1  # 16 px -> ~4 after erosion, below threshold
+        assert generate_convex_hull(img, area_threshold=30) == []
+
+
+class TestPreparation:
+    def test_mapillary_label_map(self):
+        from vision_semantic_segmentation_tpu.train.datasets.preparation import (
+            IGNORE_INDEX,
+            MERGE_LABEL,
+            WHITE_LIST,
+            mapillary_label_map,
+        )
+
+        table = mapillary_label_map()
+        # kept labels map to their position in the white list
+        for new_id, src in enumerate(WHITE_LIST):
+            assert table[src] == new_id
+        # merged labels map to their target's new id (ref :33-41)
+        assert table[23] == WHITE_LIST.index(8)    # zebra -> crosswalk
+        assert table[29] == WHITE_LIST.index(30)   # terrain -> vegetation
+        # everything else ignored
+        others = set(range(66)) - set(WHITE_LIST) - {v for vs in MERGE_LABEL.values() for v in vs}
+        for i in others:
+            assert table[i] == IGNORE_INDEX
+
+    def test_convert_label_image(self, tmp_path):
+        from vision_semantic_segmentation_tpu.train.datasets.preparation import (
+            convert_label_image,
+            mapillary_label_map,
+        )
+
+        src = np.array([[2, 23], [0, 65]], dtype=np.uint8)
+        src_path = str(tmp_path / "in.png")
+        dst_path = str(tmp_path / "out.png")
+        Image.fromarray(src).save(src_path)
+        convert_label_image(src_path, dst_path, mapillary_label_map())
+        out = np.asarray(Image.open(dst_path))
+        assert out[0, 0] == 0     # label 2 (road) -> id 0
+        assert out[0, 1] == 1     # zebra merged into crosswalk -> id 1
+        assert out[1, 0] == 255   # ignored
+        assert out[1, 1] == 255
+
+    def test_parallel_prepare(self, tmp_path):
+        from vision_semantic_segmentation_tpu.train.datasets.preparation import prepare_labels
+
+        src_dir = tmp_path / "labels"
+        dst_dir = tmp_path / "out"
+        src_dir.mkdir()
+        for i in range(4):
+            Image.fromarray(np.full((4, 4), 2, np.uint8)).save(src_dir / f"{i}.png")
+        n = prepare_labels(str(src_dir), str(dst_dir), num_workers=2)
+        assert n == 4
+        out = np.asarray(Image.open(dst_dir / "0.png"))
+        assert (out == 0).all()
+
+
+class TestVisualization:
+    def test_apply_color_map(self):
+        from vision_semantic_segmentation_tpu.train.datasets.visualization import apply_color_map
+
+        labels_meta = [{"color": [10, 20, 30]}, {"color": [40, 50, 60]}]
+        out = apply_color_map(np.array([[0, 1], [255, 1]]), labels_meta)
+        np.testing.assert_array_equal(out[0, 0], [10, 20, 30])
+        np.testing.assert_array_equal(out[1, 0], [0, 0, 0])  # ignore -> black
+
+    def test_bdd_palette(self):
+        from vision_semantic_segmentation_tpu.train.datasets.visualization import (
+            bdd_trainid_color_map,
+        )
+
+        palette = bdd_trainid_color_map()
+        np.testing.assert_array_equal(palette[0], [128, 64, 128])  # road
+        np.testing.assert_array_equal(palette[1], [244, 35, 232])  # sidewalk
+
+    def test_make_grid_and_denormalize(self, rng):
+        from vision_semantic_segmentation_tpu.train.datasets.visualization import (
+            denormalize_images,
+            make_grid,
+        )
+
+        imgs = rng.standard_normal((5, 8, 8, 3)).astype(np.float32)
+        grid = make_grid(denormalize_images(imgs), nrow=3)
+        assert grid.dtype == np.uint8
+        assert grid.shape == (2 * 8 + 2, 3 * 8 + 4, 3)
+
+
+class TestPcdBev:
+    def test_ascii_pcd_roundtrip(self, tmp_path, rng):
+        pts = rng.random((20, 4)).astype(np.float32)
+        path = str(tmp_path / "map.pcd")
+        with open(path, "w") as f:
+            f.write(
+                "VERSION .7\nFIELDS x y z intensity\nSIZE 4 4 4 4\n"
+                "TYPE F F F F\nCOUNT 1 1 1 1\nWIDTH 20\nHEIGHT 1\n"
+                "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 20\nDATA ascii\n"
+            )
+            for p in pts:
+                f.write(" ".join(f"{v:.6f}" for v in p) + "\n")
+        data = read_pcd(path)
+        np.testing.assert_allclose(data["x"], pts[:, 0], atol=1e-5)
+        np.testing.assert_allclose(data["intensity"], pts[:, 3], atol=1e-5)
+
+    def test_bev_rasterization(self, rng):
+        xyz = rng.random((100, 3)) * 10
+        img = pointcloud_to_bev(xyz, intensity=np.ones(100), resolution=1.0)
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert img.sum() > 0

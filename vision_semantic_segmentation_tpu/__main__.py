@@ -1,0 +1,142 @@
+"""Command-line launcher — the L7 orchestration layer.
+
+Replaces the reference's roslaunch files + shell scripts
+(`/root/reference/scripts/launch/*.launch`, README.md:113,127) with one
+CLI:
+
+    python -m vision_semantic_segmentation_tpu replay  --cfg exp.yaml
+    python -m vision_semantic_segmentation_tpu pipeline --cfg exp.yaml --bag seq.npz
+    python -m vision_semantic_segmentation_tpu train    --cfg train.yaml [KEY VALUE ...]
+    python -m vision_semantic_segmentation_tpu eval     --maps dir --gt dir
+    python -m vision_semantic_segmentation_tpu convert  ckpt.pth [--out ckpt.npz]
+    python -m vision_semantic_segmentation_tpu video    --cfg demo.yaml --video in.mp4
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _load_app_cfg(config_file: str):
+    from .config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    if config_file:
+        cfg.merge_from_file(config_file)
+    return cfg
+
+
+def cmd_replay(args):
+    from .runtime.replay import MappingReplay
+
+    cfg = _load_app_cfg(args.cfg)
+    if args.input_dir:
+        cfg.MAPPING.INPUT_DIR = args.input_dir
+    MappingReplay(cfg).replay_dir()
+
+
+def cmd_pipeline(args):
+    """Run both nodes in-process over a recorded sequence (camera1_mapping)."""
+    from .mapping.engine import SemanticMappingEngine
+    from .runtime.bus import TopicBus
+    from .runtime.io import load_frames
+    from .runtime.node import MappingNode, SegmentationNode
+
+    cfg = _load_app_cfg(args.cfg)
+    bus = TopicBus()
+    SegmentationNode(cfg, bus)
+    node = MappingNode(cfg, bus, engine=SemanticMappingEngine(cfg))
+
+    frames = load_frames(args.bag)
+    for f in frames:
+        bus.publish("/reduced_map", f.pcd, stamp=f.stamp, frame_id=f.pcd_frame_id)
+        bus.publish("/current_pose", (f.position, f.quaternion), stamp=f.stamp)
+        bus.publish(f"/{f.camera}/image_raw", f.semantic_image, stamp=f.stamp, frame_id=f.camera)
+    if node.grid is not None and node.finalized_map is None:
+        node.finalize()
+
+
+def cmd_train(args):
+    from .config import get_train_cfg_defaults, resolve_output_dir
+    from .train.trainer import train
+    from .utils.logger import setup_logger
+
+    cfg = get_train_cfg_defaults()
+    if args.cfg:
+        cfg.merge_from_file(args.cfg)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    output_dir = resolve_output_dir(cfg.OUTPUT_DIR, cfg.TASK_NAME)
+    logger = setup_logger("train", output_dir)
+    train(cfg, output_dir=output_dir, logger=logger)
+
+
+def cmd_eval(args):
+    from .evaluation.map_eval import MapEvaluator
+
+    MapEvaluator(ground_truth_dir=args.gt).full_test(
+        dir_path=args.maps, latex_mode=args.latex, verbose=True
+    )
+
+
+def cmd_convert(args):
+    from .models.convert import convert_pth_to_npz
+
+    out = convert_pth_to_npz(args.pth, args.out)
+    print(f"wrote {out}")
+
+
+def cmd_video(args):
+    from .config import get_demo_cfg_defaults, resolve_output_dir
+
+    cfg = get_demo_cfg_defaults()
+    if args.cfg:
+        cfg.merge_from_file(args.cfg)
+    from .runtime.video import generate_video
+
+    output_dir = resolve_output_dir(cfg.OUTPUT_DIR)
+    generate_video(cfg, args.video, output_dir, output_name=cfg.OUTPUT_NAME)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="vision_semantic_segmentation_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("replay", help="offline deterministic mapping replay")
+    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--input-dir", default="")
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("pipeline", help="run seg+mapping nodes over a recorded bag")
+    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--bag", required=True, help=".npz sequence file")
+    p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("train", help="train the segmentation network")
+    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("opts", nargs="*", help="KEY VALUE config overrides")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="score generated maps against ground truth")
+    p.add_argument("--maps", default="./global_maps")
+    p.add_argument("--gt", default="./ground_truth")
+    p.add_argument("--latex", action="store_true")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("convert", help="convert a torch .pth checkpoint to .npz")
+    p.add_argument("pth")
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("video", help="segmentation overlay video demo")
+    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--video", required=True)
+    p.set_defaults(fn=cmd_video)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

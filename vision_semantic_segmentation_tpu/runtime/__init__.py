@@ -1,0 +1,26 @@
+from .bus import Message, TopicBus, nearest_stamp_index
+from .io import (
+    FrameRecord,
+    iter_sequence_files,
+    load_frames,
+    load_reference_dump,
+    save_frames,
+)
+from .node import MappingNode, SegmentationNode
+from .replay import MappingReplay
+from .video import generate_video
+
+__all__ = [
+    "Message",
+    "TopicBus",
+    "nearest_stamp_index",
+    "FrameRecord",
+    "iter_sequence_files",
+    "load_frames",
+    "load_reference_dump",
+    "save_frames",
+    "MappingNode",
+    "SegmentationNode",
+    "MappingReplay",
+    "generate_video",
+]
