@@ -177,3 +177,40 @@ class TestNodePipelineE2E:
         assert map_node.finalized_map is not None
         assert map_node.finalized_map.shape == (400, 400, 3)
         assert bus.published_counts["/semantic_local_map"] == 1
+
+
+class TestHullBackProjection:
+    def test_plane_hull_markers(self, rng, tmp_path):
+        """Convex hulls back-project onto the estimated ground plane
+        (ref node:138-201)."""
+        cfg = small_cfg(tmp_path)
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+
+        from vision_semantic_segmentation_tpu.inference.predictor import SemanticSegmentation
+        from vision_semantic_segmentation_tpu.models import build_model
+        import jax.numpy as jnp
+
+        model, *_ = build_model(net_cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        predictor = SemanticSegmentation(net_cfg, variables=variables, compute_dtype="float32")
+
+        bus = TopicBus()
+        node = SegmentationNode(
+            cfg, bus, predictor=predictor, cameras=("camera1",), publish_hulls=True
+        )
+        got = []
+        bus.subscribe("/crosswalk_markers", lambda m: got.append(m))
+
+        # ground plane z = -2 in the velodyne frame
+        bus.publish("/estimated_plane", [0.0, 0.0, 1.0, 2.0], stamp=0.0)
+        assert node.plane is not None
+
+        labels = np.zeros((100, 140), np.int32)
+        labels[40:70, 50:90] = 1  # crosswalk blob
+        node.generate_and_publish_convex_hull(labels, "camera1", index_care_about=1)
+        assert len(got) == 1
+        markers = got[0].data
+        assert markers[0].marker_type == "line_strip"
+        pts = markers[0].points
+        np.testing.assert_allclose(pts[:, 2], -2.0, atol=1e-3)  # on the plane

@@ -63,11 +63,14 @@ def make_train_step(
     num_classes: int,
     ignore_index: int = 255,
     max_grad_norm: float = 0.0,
+    freeze_bn_stats: bool = False,
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """Build the fused train step (fwd + loss + bwd + update + metrics).
 
     The returned function is pure; jit it with sharded-batch in_shardings
     (see :func:`jit_train_step`) to get data parallelism.
+    ``freeze_bn_stats`` keeps BatchNorm running statistics fixed — the
+    eval-mode half of the reference's freeze_bn (ref core/nn/freezer.py:100-106).
     """
 
     def train_step(state: TrainState, batch: Dict[str, Array]):
@@ -98,7 +101,7 @@ def make_train_step(
         new_state = state.replace(
             step=state.step + 1,
             params=params,
-            batch_stats=new_stats,
+            batch_stats=state.batch_stats if freeze_bn_stats else new_stats,
             opt_state=opt_state,
             rng=rng,
         )

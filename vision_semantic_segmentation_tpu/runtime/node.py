@@ -36,16 +36,22 @@ from .io import FrameRecord, save_frames
 class SegmentationNode:
     """Camera image -> semantic RGB image (ref node:49-221).
 
-    Subscribes ``/cameraX/image_raw``; publishes ``/cameraX/semantic``.
+    Subscribes ``/cameraX/image_raw`` and ``/estimated_plane``; publishes
+    ``/cameraX/semantic`` plus optional crosswalk/road hull markers
+    back-projected onto the ground plane (ref node:138-201).
     """
 
     def __init__(self, cfg, bus: TopicBus, predictor: Optional[SemanticSegmentation] = None,
-                 cameras: Tuple[str, ...] = ("camera1", "camera6")):
+                 cameras: Tuple[str, ...] = ("camera1", "camera6"),
+                 publish_hulls: bool = False):
         self.cfg = cfg
         self.bus = bus
         self.image_scale = float(cfg.VISION_SEM_SEG.IMAGE_SCALE)
         self.predictor = predictor or SemanticSegmentation(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK)
         self.palette = MAPILLARY_19_PALETTE
+        self.publish_hulls = publish_hulls
+        self.plane = None
+        self.plane_last_update = 0.0
         self._undistort_maps: Dict[str, np.ndarray] = {}
         for cam in cameras:
             try:
@@ -53,6 +59,15 @@ class SegmentationNode:
             except KeyError:
                 pass
             bus.subscribe(f"/{cam}/image_raw", self.image_callback)
+        bus.subscribe("/estimated_plane", self.plane_callback)
+
+    def plane_callback(self, msg: Message) -> None:
+        """Ground-plane estimate update (ref node:199-201)."""
+        from ..geometry.plane import Plane3D
+
+        coef = msg.data
+        self.plane = Plane3D(float(coef[0]), float(coef[1]), float(coef[2]), float(coef[3]))
+        self.plane_last_update = msg.stamp
 
     def image_callback(self, msg: Message) -> None:
         """Per-frame path (ref node:74-136)."""
@@ -66,12 +81,61 @@ class SegmentationNode:
             image_scale=self.image_scale,
         )
         labels = self.predictor.segmentation(np.asarray(x), upsample_pred=False)
+
+        if self.publish_hulls:
+            # crosswalk (class 1) and road (class 2) hulls on the ground
+            # plane (ref node:104-106; class ids from config_19.json)
+            self.generate_and_publish_convex_hull(labels, camera, index_care_about=1)
+            self.generate_and_publish_convex_hull(labels, camera, index_care_about=2)
+
         labels_full = postprocess_labels(labels, full_hw)
         semantic_rgb = np.asarray(colorize_labels(labels_full, self.palette))
 
         self.bus.publish(
             f"/{camera}/semantic", semantic_rgb, stamp=msg.stamp, frame_id=camera
         )
+
+    # -- hull back-projection (ref node:138-197) -----------------------------
+    def generate_and_publish_convex_hull(
+        self, labels: np.ndarray, camera: str, index_care_about: int = 1
+    ) -> None:
+        from ..inference.convex_hull import generate_convex_hull
+
+        cam = get_camera(camera)
+        hulls = generate_convex_hull(np.asarray(labels), index_care_about=index_care_about)
+        if not hulls or self.plane is None:
+            return
+
+        # scale hull vertices from network-output resolution to the full
+        # image the calibration describes (ref node:146-150)
+        scale_x = float(cam.im_size[0]) / labels.shape[1]
+        scale_y = float(cam.im_size[1]) / labels.shape[0]
+        scaled = [h * np.array([[scale_x], [scale_y]]) for h in hulls]
+        self.cam_back_project_convex_hull(cam, scaled, index_care_about)
+
+    def cam_back_project_convex_hull(self, cam, vertex_loops, index_care_about: int = 1) -> None:
+        """Cast hull pixels to ground-plane points and publish markers."""
+        import jax.numpy as jnp
+
+        from ..utils.markers import visualize_marker
+
+        markers = []
+        for loop in vertex_loops:
+            d, C = cam.pixel_to_ray(jnp.asarray(loop, jnp.float32))
+            ground = np.asarray(self.plane.ray_intersection(d, C))  # (3, K)
+            if index_care_about == 1:
+                color, lifetime = (0.8, 0.0, 0.0, 0.8), 10.0  # crosswalk red
+            else:
+                color, lifetime = (0.0, 0.0, 0.8, 0.8), 3.0   # road blue
+            markers.append(
+                visualize_marker(
+                    (0, 0, 0), frame_id="velodyne", mtype="line_strip",
+                    scale=(0.1, 0.1, 0.1), color=color, points=ground.T,
+                    lifetime=lifetime,
+                )
+            )
+        topic = "/crosswalk_markers" if index_care_about == 1 else "/road_markers"
+        self.bus.publish(topic, markers)
 
 
 class MappingNode:

@@ -70,7 +70,11 @@ class Trainer:
         # jitted steps over the mesh
         num_classes = cfg.DATASET.NUM_CLASSES
         self._train_step = jit_train_step(
-            make_train_step(num_classes, max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM),
+            make_train_step(
+                num_classes,
+                max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
+                freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
+            ),
             self.mesh,
         )
         self._eval_step = jit_eval_step(make_eval_step(num_classes), self.mesh)
