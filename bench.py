@@ -27,6 +27,11 @@ BASELINE_FPS = 1.2
 
 def main(quick: bool = False):
     import jax
+
+    # persistent compile cache: the os8 DeepLab at full camera resolution
+    # takes minutes to compile; cache makes driver re-runs near-instant
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vss_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from vision_semantic_segmentation_tpu.config import get_cfg_defaults

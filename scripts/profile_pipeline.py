@@ -4,6 +4,9 @@ import time
 
 import numpy as np
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vss_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
