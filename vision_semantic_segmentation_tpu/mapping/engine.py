@@ -241,56 +241,88 @@ class SemanticMappingEngine:
         use_intensity = self.use_intensity and lane >= 0
         dedupe = self.duplicate_semantics == "reference"
 
+        num_cls = evidence_T.shape[0]
+        sentinel = h * w * num_cls
+
+        def _segmented_sum(flags_first, values):
+            """Inclusive segmented cumsum over sorted keys (associative)."""
+
+            def combine(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb, vb, va + vb)
+
+            _, summed = jax.lax.associative_scan(combine, (flags_first, values))
+            return summed
+
         @jax.jit
         def step(grid, pcd, valid, image, position, quaternion):
             cell, cls, vis, upd, boost = pointwise(
                 pcd, valid, image, position, quaternion
             )
 
-            # Bayesian update: add the confusion-matrix column of the
-            # observed class to the cell (ref :414-424)
+            # --- TPU-fast Bayesian update (ref :414-424) -------------------
+            # XLA lowers a scatter with potentially-duplicate indices to a
+            # *serialized* update loop on TPU (measured ~25 ms for a 2^17
+            # bucket).  Instead: sort the (cell, class) keys once (bitonic
+            # sorts are parallel and cheap), reduce duplicates with a
+            # segmented scan, then scatter per-key totals at *unique*
+            # indices (vectorizable) into a dense (H*W, C) observation
+            # buffer, and fold evidence in with ONE MXU matmul:
+            #     grid += observations @ evidence^T
+            key = jnp.where(upd, cell * num_cls + jnp.clip(cls, 0), sentinel)
+            order = jnp.argsort(key)
+            ksort = key[order]
+            kvalid = ksort < sentinel
+            is_first = jnp.concatenate([jnp.ones((1,), bool), ksort[1:] != ksort[:-1]])
+            is_last = jnp.concatenate([ksort[:-1] != ksort[1:], jnp.ones((1,), bool)])
+
             if dedupe:
                 # PARITY QUIRK (load-bearing): the reference updates with
                 # numpy fancy-index ``+=`` (ref mapping.py:424,437), which
-                # collapses duplicate indices — evidence is added once per
-                # (cell, class) per *frame*, not per point.  Reproduce that
-                # exactly by sorting the (cell, class) keys and scattering
-                # only first occurrences.
-                num_cls = evidence_T.shape[0]
-                key = jnp.where(upd, cell * num_cls + jnp.clip(cls, 0), h * w * num_cls)
-                order = jnp.argsort(key)
-                ksort = key[order]
-                first = jnp.concatenate(
-                    [jnp.ones((1,), bool), ksort[1:] != ksort[:-1]]
-                )
-                kvalid = ksort < h * w * num_cls
-                cell_s = ksort // num_cls
-                cls_s = ksort % num_cls
-                rows = evidence_T[cls_s]
-                grid = masked_scatter_add_rows(grid, cell_s, rows, first & kvalid)
+                # collapses duplicates — evidence is added once per (cell,
+                # class) per frame.  One observation per unique key.
+                obs_at_last = jnp.ones_like(ksort, dtype=grid.dtype)
             else:
-                rows = evidence_T[jnp.clip(cls, 0)]  # (N, C)
-                grid = masked_scatter_add_rows(grid, cell, rows, upd)
+                # per-point accumulation: per-key counts via segmented scan
+                counts = _segmented_sum(is_first, kvalid.astype(grid.dtype))
+                obs_at_last = counts
 
-            # LiDAR intensity lane boost (ref :427-437): retro-reflective
-            # returns (paint) have extreme intensities; +2 evidence
+            n = ksort.shape[0]
+            arange_n = jnp.arange(n)
+            # unique scatter targets: real key at segment lasts, disjoint
+            # out-of-range slots elsewhere (dropped) -> unique_indices holds
+            obs_idx = jnp.where(is_last & kvalid, ksort, sentinel + arange_n)
+            observations = jnp.zeros((h * w * num_cls,), grid.dtype)
+            observations = observations.at[obs_idx].add(
+                obs_at_last, mode="drop", unique_indices=True
+            )
+            delta = jnp.matmul(
+                observations.reshape(h * w, num_cls),
+                evidence_T,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            grid = grid + delta.reshape(h, w, num_cls)
+
+            # --- LiDAR intensity lane boost (ref :427-437) -----------------
+            # Retro-reflective returns (paint) have extreme intensities; +2
+            # evidence on the lane channel.  Lane-class segments are unique
+            # per cell, so the same sorted order serves.
             if use_intensity:
+                boost_sorted = boost[order]
                 if dedupe:
-                    bkey = jnp.where(boost, cell, h * w)
-                    border = jnp.argsort(bkey)
-                    bsort = bkey[border]
-                    bfirst = jnp.concatenate(
-                        [jnp.ones((1,), bool), bsort[1:] != bsort[:-1]]
-                    )
-                    bval = bsort < h * w
-                    grid = masked_scatter_add_channel(
-                        grid, bsort, lane,
-                        jnp.full(bsort.shape, 2.0, grid.dtype), bfirst & bval,
-                    )
+                    # any boost point in the (cell, lane) segment -> +2 once
+                    bstat = _segmented_sum(is_first, boost_sorted.astype(grid.dtype))
+                    bstat = jnp.minimum(bstat, 1.0)
                 else:
-                    grid = masked_scatter_add_channel(
-                        grid, cell, lane, jnp.full(cell.shape, 2.0, grid.dtype), boost
-                    )
+                    bstat = _segmented_sum(is_first, boost_sorted.astype(grid.dtype))
+                lane_seg = kvalid & ((ksort % num_cls) == lane)
+                bidx = jnp.where(is_last & lane_seg, ksort // num_cls, h * w + arange_n)
+                boost_buf = jnp.zeros((h * w,), grid.dtype)
+                boost_buf = boost_buf.at[bidx].add(
+                    2.0 * bstat, mode="drop", unique_indices=True
+                )
+                grid = grid.at[:, :, lane].add(boost_buf.reshape(h, w))
 
             return grid, cls, vis
 
