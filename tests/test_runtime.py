@@ -214,3 +214,58 @@ class TestHullBackProjection:
         assert markers[0].marker_type == "line_strip"
         pts = markers[0].points
         np.testing.assert_allclose(pts[:, 2], -2.0, atol=1e-3)  # on the plane
+
+
+class TestFusedPipeline:
+    def test_matches_two_stage_path(self, rng, tmp_path):
+        """Fused class-id pipeline == segment->colorize->RGB-engine path."""
+        import jax.numpy as jnp
+        from vision_semantic_segmentation_tpu.inference.predictor import (
+            SemanticSegmentation,
+            colorize_labels,
+            postprocess_labels,
+        )
+        from vision_semantic_segmentation_tpu.models import build_model
+        from vision_semantic_segmentation_tpu.runtime.pipeline import FusedFramePipeline
+        from vision_semantic_segmentation_tpu.mapping import pad_points
+        from test_mapping import make_frame
+        import numpy as np
+
+        cfg = small_cfg(tmp_path)
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+        net_cfg.DATASET.NUM_CLASSES = 19
+
+        model, *_ = build_model(net_cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        pipeline = FusedFramePipeline(cfg, variables, engine=engine,
+                                      compute_dtype=jnp.float32)
+
+        pts, _, position, quaternion = make_frame(rng, cfg, n=1200)
+        raw = (rng.random((720, 960, 3)) * 255).astype(np.uint8)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+
+        grid_fused, net_labels = pipeline.step(
+            engine.init_grid(), raw, pcd, valid, position, quaternion
+        )
+
+        # reference-dataflow path: predictor -> colorize -> RGB engine
+        predictor = SemanticSegmentation(net_cfg, variables=variables,
+                                         compute_dtype="float32")
+        labels = predictor.segmentation(raw, upsample_pred=False)
+        labels_full = postprocess_labels(labels, raw.shape[:2])
+        # palette restricted to the 5 mapped classes (others black)
+        seg_palette = np.zeros((19, 3), np.uint8)
+        for net_idx, color in zip(cfg.LABELS, cfg.LABEL_COLORS):
+            seg_palette[net_idx] = color
+        semantic_rgb = np.asarray(colorize_labels(labels_full, seg_palette))
+        grid_rgb, _, _ = engine.step(
+            engine.init_grid(), pcd, valid, semantic_rgb, position, quaternion
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(grid_fused), np.asarray(grid_rgb), atol=1e-5
+        )
+        assert np.asarray(grid_fused).sum() > 0

@@ -162,11 +162,20 @@ class SemanticMappingEngine:
         return jnp.zeros(self.grid_spec.shape, dtype=jnp.float32)
 
     # -- fused frame step ----------------------------------------------------
-    def _build_pointwise(self, camera_id: str, pcd_in_velodyne_frame: bool):
+    def _build_pointwise(
+        self,
+        camera_id: str,
+        pcd_in_velodyne_frame: bool,
+        image_is_class_id: bool = False,
+    ):
         """Closure computing per-point (cell, cls, vis, upd, boost).
 
-        Shared between the single-device step and the grid-sharded step
-        (parallel/grid_shard.py).
+        Shared between the single-device step, the grid-sharded step
+        (parallel/grid_shard.py), and the fused camera+LiDAR pipeline
+        (runtime/pipeline.py).  ``image_is_class_id`` switches the label
+        image from RGB (palette-matched, the reference dataflow) to a
+        direct (H, W) int32 channel-id image (<0 = unmapped) — the
+        colorize+match round-trip composed away.
         """
         P = jnp.asarray(self.cameras[camera_id].P, dtype=jnp.float32)
         T_v2b = jnp.asarray(self.T_velodyne_to_baselink, dtype=jnp.float32)
@@ -206,11 +215,14 @@ class SemanticMappingEngine:
             )
             vis = valid & front & in_img
 
-            # gather point colors from the semantic image (ref :387)
+            # gather point labels from the semantic image (ref :387)
             gx = jnp.clip(ixy[0], 0, img_w - 1)
             gy = jnp.clip(ixy[1], 0, img_h - 1)
-            rgb = image[gy, gx]  # (N, 3)
-            cls = colors_to_labels(rgb, label_colors, fill=-1)
+            if image_is_class_id:
+                cls = image[gy, gx].astype(jnp.int32)
+            else:
+                rgb = image[gy, gx]  # (N, 3)
+                cls = colors_to_labels(rgb, label_colors, fill=-1)
 
             # grid cell from the point's map-frame x/y (ref :403-411)
             local = xyz[0:2] + offset
@@ -232,8 +244,11 @@ class SemanticMappingEngine:
 
         return pointwise
 
-    def _build_step(self, camera_id: str, pcd_in_velodyne_frame: bool):
-        pointwise = self._build_pointwise(camera_id, pcd_in_velodyne_frame)
+    def _build_update(self):
+        """Closure applying the sorted segmented grid update.
+
+        Shared by the engine step and the fused pipeline.
+        """
         evidence_T = jnp.asarray(self.evidence.T)  # row i = evidence column i
         spec = self.grid_spec
         h, w = spec.height, spec.width
@@ -255,12 +270,7 @@ class SemanticMappingEngine:
             _, summed = jax.lax.associative_scan(combine, (flags_first, values))
             return summed
 
-        @jax.jit
-        def step(grid, pcd, valid, image, position, quaternion):
-            cell, cls, vis, upd, boost = pointwise(
-                pcd, valid, image, position, quaternion
-            )
-
+        def apply_update(grid, cell, cls, intensity, upd):
             # --- TPU-fast Bayesian update (ref :414-424) -------------------
             # XLA lowers a scatter with potentially-duplicate indices to a
             # *serialized* update loop on TPU (measured ~25 ms for a 2^17
@@ -309,13 +319,12 @@ class SemanticMappingEngine:
             # evidence on the lane channel.  Lane-class segments are unique
             # per cell, so the same sorted order serves.
             if use_intensity:
+                boost = upd & (cls == lane) & ((intensity < 2) | (intensity > 14))
                 boost_sorted = boost[order]
+                bstat = _segmented_sum(is_first, boost_sorted.astype(grid.dtype))
                 if dedupe:
                     # any boost point in the (cell, lane) segment -> +2 once
-                    bstat = _segmented_sum(is_first, boost_sorted.astype(grid.dtype))
                     bstat = jnp.minimum(bstat, 1.0)
-                else:
-                    bstat = _segmented_sum(is_first, boost_sorted.astype(grid.dtype))
                 lane_seg = kvalid & ((ksort % num_cls) == lane)
                 bidx = jnp.where(is_last & lane_seg, ksort // num_cls, h * w + arange_n)
                 boost_buf = jnp.zeros((h * w,), grid.dtype)
@@ -324,6 +333,20 @@ class SemanticMappingEngine:
                 )
                 grid = grid.at[:, :, lane].add(boost_buf.reshape(h, w))
 
+            return grid
+
+        return apply_update
+
+    def _build_step(self, camera_id: str, pcd_in_velodyne_frame: bool):
+        pointwise = self._build_pointwise(camera_id, pcd_in_velodyne_frame)
+        apply_update = self._build_update()
+
+        @jax.jit
+        def step(grid, pcd, valid, image, position, quaternion):
+            cell, cls, vis, upd, _ = pointwise(
+                pcd, valid, image, position, quaternion
+            )
+            grid = apply_update(grid, cell, cls, pcd[3], upd)
             return grid, cls, vis
 
         return step

@@ -38,12 +38,13 @@ def _pack_colors(label_colors: np.ndarray) -> np.ndarray:
     )
 
 
-def _render_kernel(num_classes, tile_h, width, grid_hbm, colors_ref, out_ref, scratch, sem):
+def _render_kernel(num_classes, tile_h, width, out_width, grid_hbm, colors_ref, out_ref, scratch, sem):
     i = pl.program_id(0)
 
-    # overlapping halo DMA: rows [i*T, i*T + T + 2) of the padded grid
+    # overlapping halo DMA: Mosaic requires HBM slice extents aligned to
+    # the (8, 128) tiling, so read T+8 rows and use the first T+2
     dma = pltpu.make_async_copy(
-        grid_hbm.at[:, pl.ds(i * tile_h, tile_h + 2), :],
+        grid_hbm.at[:, pl.ds(i * tile_h, tile_h + 8), :],
         scratch,
         sem,
     )
@@ -54,10 +55,14 @@ def _render_kernel(num_classes, tile_h, width, grid_hbm, colors_ref, out_ref, sc
     best_packed = None
     total = None
     for c in range(num_classes):
-        plane = scratch[c]  # (T+2, W+2) f32
+        plane = scratch[c]  # (T+8, W_in) f32
         # separable 3x3 mean: 3 horizontal taps then 3 vertical taps
+        # (compute at the padded output width; padding columns are garbage
+        # but sliced away by the caller)
         horiz = (
-            plane[:, 0:width] + plane[:, 1 : width + 1] + plane[:, 2 : width + 2]
+            plane[:, 0:out_width]
+            + plane[:, 1 : out_width + 1]
+            + plane[:, 2 : out_width + 2]
         )
         sm = (
             horiz[0:tile_h, :] + horiz[1 : tile_h + 1, :] + horiz[2 : tile_h + 2, :]
@@ -99,31 +104,36 @@ def render_bev_map_fused(
     planar = jnp.transpose(padded, (2, 0, 1))  # (C, H+2, W+2)
 
     num_tiles = pl.cdiv(h, tile_h)
-    pad_rows = num_tiles * tile_h - h
-    if pad_rows:
-        planar = jnp.pad(planar, ((0, 0), (0, pad_rows), (0, 0)))
+    # Mosaic DMA slices must be (8, 128)-tile aligned: every tile
+    # over-reads T+8 rows, and the width pads up to a lane multiple
+    pad_rows = num_tiles * tile_h + 8 - planar.shape[1]
+    w_out = -(-w // 128) * 128
+    w_in = w_out + 128  # room for the +2 horizontal taps, lane-aligned
+    planar = jnp.pad(
+        planar, ((0, 0), (0, max(pad_rows, 0)), (0, w_in - (w + 2)))
+    )
 
     colors = jnp.asarray(_pack_colors(label_colors))[None, :]  # (1, C) for SMEM
 
-    kernel = functools.partial(_render_kernel, num_classes, tile_h, w)
+    kernel = functools.partial(_render_kernel, num_classes, tile_h, w, w_out)
     out = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full grid stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # full grid stays in HBM
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile_h, w_out), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles * tile_h, w), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * tile_h, w_out), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((num_classes, tile_h + 2, w + 2), jnp.float32),
+            pltpu.VMEM((num_classes, tile_h + 8, w_in), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(planar, colors)
-    return out[:h]
+    return out[:h, :w]
 
 
 def unpack_rgba_image(packed: Array) -> Array:

@@ -1,0 +1,117 @@
+"""Single-dispatch fused frame pipeline.
+
+The production hot path: raw uint8 camera frame + point cloud + pose ->
+updated BEV grid, compiled as ONE jitted program per camera so each frame
+costs exactly one device dispatch:
+
+    undistort/scale -> normalize -> DeepLab forward -> argmax -> label
+    upsample -> point projection -> label gather -> evidence update
+
+The class-id shortcut skips the reference's RGB colorize/palette-match
+round-trip while remaining mathematically identical: the network-class ->
+mapped-channel lookup composes the palette write (ref node:114) with the
+engine's palette match (ref mapping.py:414-424).  The RGB topic path in
+runtime/node.py keeps exact reference dataflow for parity; this pipeline
+is the performance path (bench.py).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..inference.predictor import IMAGENET_MEAN, IMAGENET_STD
+from ..mapping.engine import SemanticMappingEngine
+from ..models.build import build_model
+from ..ops.resize import resize_area, resize_nearest
+
+Array = jnp.ndarray
+
+
+def network_to_channel_table(cfg, num_network_classes: int = 19) -> np.ndarray:
+    """(num_network_classes,) -> mapped grid channel, -1 when unmapped.
+
+    Composes cfg.LABELS (network index of each mapped channel,
+    ref base_cfg.py:47): e.g. network class 2 (road) -> channel 0.
+    """
+    table = np.full(num_network_classes, -1, dtype=np.int32)
+    for channel, net_idx in enumerate(cfg.LABELS):
+        table[net_idx] = channel
+    return table
+
+
+class FusedFramePipeline:
+    """One-dispatch camera+LiDAR fusion step against the HBM grid."""
+
+    def __init__(
+        self,
+        cfg,
+        variables,
+        engine: Optional[SemanticMappingEngine] = None,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.engine = engine or SemanticMappingEngine(cfg)
+        self.model = build_model(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK, dtype=compute_dtype)[0]
+        self.variables = jax.tree.map(jnp.asarray, variables)
+        self.image_scale = float(cfg.VISION_SEM_SEG.IMAGE_SCALE)
+        self.channel_table = jnp.asarray(
+            network_to_channel_table(cfg, cfg.VISION_SEM_SEG.SEM_SEG_NETWORK.DATASET.NUM_CLASSES)
+        )
+        self._step_cache: Dict[Tuple, Callable] = {}
+
+    def init_grid(self) -> Array:
+        return self.engine.init_grid()
+
+    def _build(self, camera: str, image_hw: Tuple[int, int], velodyne_frame: bool):
+        pointwise = self.engine._build_pointwise(
+            camera, velodyne_frame, image_is_class_id=True
+        )
+        apply_update = self.engine._build_update()
+        model = self.model
+        variables = self.variables
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+        table = self.channel_table
+        scale = self.image_scale
+        full_hw = image_hw
+
+        @jax.jit
+        def step(grid, frame_u8, pcd, valid, position, quaternion):
+            # segmentation (ref node:82-110, fused)
+            x = frame_u8
+            if scale < 1.0:
+                x = resize_area(x, (int(full_hw[0] * scale), int(full_hw[1] * scale)))
+            xf = x.astype(jnp.float32) / 255.0
+            xf = (xf - mean) / std
+            logits = model.apply(variables, xf[None], train=False, upsample_pred=False)
+            net_labels = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
+            net_labels = resize_nearest(net_labels, full_hw)
+            channel_img = table[jnp.clip(net_labels, 0, table.shape[0] - 1)]
+
+            # projection + gather + evidence update (ref mapping.py:357-444)
+            cell, cls, vis, upd, _ = pointwise(
+                pcd, valid, channel_img, position, quaternion
+            )
+            grid = apply_update(grid, cell, cls, pcd[3], upd)
+            return grid, net_labels
+
+        return step
+
+    def step(self, grid, frame_u8, pcd, valid, position, quaternion,
+             camera: str = "camera1", pcd_frame_id: str = ""):
+        """Fuse one raw frame; returns (grid, network label map)."""
+        image_hw = (frame_u8.shape[0], frame_u8.shape[1])
+        key = (camera, image_hw, pcd_frame_id == "velodyne")
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build(camera, image_hw, key[2])
+        return self._step_cache[key](
+            grid,
+            jnp.asarray(frame_u8),
+            jnp.asarray(pcd),
+            jnp.asarray(valid),
+            jnp.asarray(position, jnp.float32),
+            jnp.asarray(quaternion, jnp.float32),
+        )
