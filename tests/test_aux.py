@@ -233,3 +233,68 @@ class TestPcdBev:
         img = pointcloud_to_bev(xyz, intensity=np.ones(100), resolution=1.0)
         assert img.ndim == 3 and img.shape[2] == 3
         assert img.sum() > 0
+
+
+class TestNativePointCloudDecode:
+    def _payload(self, rng, n=500, with_nans=False):
+        pts = rng.standard_normal((n, 4)).astype(np.float32)
+        if with_nans:
+            pts[::50, 2] = np.nan
+        point_step = 22  # x(0) y(4) z(8) intensity(16) + padding
+        raw = np.zeros((n, point_step), np.uint8)
+        raw[:, 0:4] = pts[:, 0:1].view(np.uint8)
+        raw[:, 4:8] = pts[:, 1:2].view(np.uint8)
+        raw[:, 8:12] = pts[:, 2:3].view(np.uint8)
+        raw[:, 16:20] = pts[:, 3:4].view(np.uint8)
+        return pts, raw.tobytes(), point_step
+
+    def test_decode_matches_source(self, rng):
+        from vision_semantic_segmentation_tpu.runtime.native_io import (
+            decode_pointcloud2,
+            native_available,
+        )
+
+        pts, data, step = self._payload(rng)
+        out = decode_pointcloud2(data, 500, step, [0, 4, 8, 16], [7, 7, 7, 7])
+        assert out.shape == (4, 500)
+        np.testing.assert_allclose(out.T, pts, atol=1e-6)
+        assert native_available(), "native decoder should build in this image"
+
+    def test_nan_skipping(self, rng):
+        from vision_semantic_segmentation_tpu.runtime.native_io import decode_pointcloud2
+
+        pts, data, step = self._payload(rng, with_nans=True)
+        out = decode_pointcloud2(data, 500, step, [0, 4, 8, 16], [7, 7, 7, 7])
+        assert out.shape[1] == 500 - 10
+        assert np.isfinite(out).all()
+
+    def test_native_matches_numpy_fallback(self, rng):
+        from vision_semantic_segmentation_tpu.runtime import native_io
+
+        pts, data, step = self._payload(rng, with_nans=True)
+        native = native_io.decode_pointcloud2(data, 500, step, [0, 4, 8, 16], [7, 7, 7, 7])
+        fallback = native_io._numpy_decode(data, 500, step, [0, 4, 8, 16], [7, 7, 7, 7], True)
+        np.testing.assert_allclose(native, fallback, atol=1e-6)
+
+    def test_decode_and_bucket(self, rng):
+        from vision_semantic_segmentation_tpu.runtime.native_io import decode_and_bucket
+
+        pts, data, step = self._payload(rng)
+        out, valid = decode_and_bucket(data, 500, step, [0, 4, 8, 16], [7, 7, 7, 7], bucket=1024)
+        assert out.shape == (4, 1024) and valid.shape == (1024,)
+        assert valid.sum() == 500
+        np.testing.assert_allclose(out[:, :500].T, pts, atol=1e-6)
+        assert (out[:, 500:] == 0).all()
+
+    def test_mixed_datatypes(self, rng):
+        from vision_semantic_segmentation_tpu.runtime.native_io import decode_pointcloud2
+
+        n = 64
+        raw = np.zeros((n, 12), np.uint8)
+        f = rng.standard_normal((n, 1)).astype(np.float32)
+        u16 = rng.integers(0, 1000, (n, 1)).astype(np.uint16)
+        raw[:, 0:4] = f.view(np.uint8)
+        raw[:, 4:6] = u16.view(np.uint8)
+        out = decode_pointcloud2(raw.tobytes(), n, 12, [0, 4], [7, 4])
+        np.testing.assert_allclose(out[0], f[:, 0], atol=1e-6)
+        np.testing.assert_allclose(out[1], u16[:, 0].astype(np.float32))

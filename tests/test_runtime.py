@@ -269,3 +269,45 @@ class TestFusedPipeline:
             np.asarray(grid_fused), np.asarray(grid_rgb), atol=1e-5
         )
         assert np.asarray(grid_fused).sum() > 0
+
+    def test_sequence_runner_matches_per_frame(self, rng, tmp_path):
+        import jax.numpy as jnp
+        from vision_semantic_segmentation_tpu.models import build_model
+        from vision_semantic_segmentation_tpu.runtime.pipeline import FusedFramePipeline
+        from vision_semantic_segmentation_tpu.mapping import pad_points
+        from test_mapping import make_frame
+        import numpy as np
+
+        cfg = small_cfg(tmp_path)
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+        net_cfg.DATASET.NUM_CLASSES = 19
+        model, *_ = build_model(net_cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        pipeline = FusedFramePipeline(cfg, variables, engine=engine,
+                                      compute_dtype=jnp.float32)
+
+        hw = (360, 480)
+        T = 3
+        frames = {"image": [], "pcd": [], "valid": [], "position": [], "quaternion": []}
+        for _ in range(T):
+            pts, _, position, quaternion = make_frame(rng, cfg, n=700)
+            pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+            frames["image"].append((rng.random((*hw, 3)) * 255).astype(np.uint8))
+            frames["pcd"].append(pcd)
+            frames["valid"].append(valid)
+            frames["position"].append(np.asarray(position, np.float32))
+            frames["quaternion"].append(np.asarray(quaternion, np.float32))
+        stacked = {k: jnp.asarray(np.stack(v)) for k, v in frames.items()}
+
+        run = pipeline.build_sequence_runner(image_hw=hw)
+        grid_scan = run(pipeline.init_grid(), stacked)
+
+        grid_loop = pipeline.init_grid()
+        for i in range(T):
+            grid_loop, _ = pipeline.step(
+                grid_loop, frames["image"][i], frames["pcd"][i], frames["valid"][i],
+                frames["position"][i], frames["quaternion"][i],
+            )
+        np.testing.assert_allclose(np.asarray(grid_scan), np.asarray(grid_loop), atol=1e-5)

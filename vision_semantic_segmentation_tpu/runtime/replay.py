@@ -16,6 +16,7 @@ import os.path as osp
 from typing import Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config.defaults import resolve_output_dir
@@ -54,10 +55,22 @@ class MappingReplay:
             )
         return grid
 
-    def finalize(self, grid, name: str = "") -> np.ndarray:
-        """Smooth + render + save + evaluate (ref mapping_replay.py:194-211)."""
-        grid = apply_filter(grid)
-        color_map = np.asarray(render_bev_map(grid, self.label_colors))
+    def finalize(self, grid, name: str = "", use_pallas: Optional[bool] = None) -> np.ndarray:
+        """Smooth + render + save + evaluate (ref mapping_replay.py:194-211).
+
+        ``use_pallas`` selects the fused single-pass finalize kernel
+        (ops/pallas/render.py); defaults to True on TPU backends.
+        """
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from ..ops.pallas.render import render_bev_map_fused, unpack_rgba_image
+
+            packed = render_bev_map_fused(jnp.asarray(grid), self.label_colors)
+            color_map = np.asarray(unpack_rgba_image(packed))
+        else:
+            grid = apply_filter(grid)
+            color_map = np.asarray(render_bev_map(grid, self.label_colors))
 
         makedirs(self.output_dir, exist_ok=True)
         suffix = f"_{name}" if name else ""
