@@ -351,6 +351,32 @@ class SemanticMappingEngine:
 
         return step
 
+    def build_sequence_runner(self, camera: str = "camera1", pcd_frame_id: str = ""):
+        """ONE-dispatch fusion of a stacked frame window via ``lax.scan``.
+
+        Cuts per-frame dispatch overhead for offline replay: the grid stays
+        in HBM across the window.  ``frames`` is a dict of stacked arrays:
+        image (T,Hi,Wi,3) u8, pcd (T,4,N), valid (T,N), position (T,3),
+        quaternion (T,4).
+        """
+        key = (camera, pcd_frame_id == "velodyne")
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step(*key)
+        step = self._step_fns[key]
+
+        @jax.jit
+        def run(grid, frames):
+            def body(g, f):
+                g, _, _ = step(
+                    g, f["pcd"], f["valid"], f["image"], f["position"], f["quaternion"]
+                )
+                return g, ()
+
+            grid, _ = jax.lax.scan(body, grid, frames)
+            return grid
+
+        return run
+
     def step(
         self,
         grid: Array,

@@ -42,17 +42,59 @@ class MappingReplay:
         self.label_colors = np.array(cfg.LABEL_COLORS, dtype=np.uint8)
 
     # -- core loop -----------------------------------------------------------
-    def run_frames(self, frames: Sequence[FrameRecord]):
-        """Fuse a frame sequence into a fresh grid; returns the device grid."""
+    def run_frames(self, frames: Sequence[FrameRecord], window: int = 8):
+        """Fuse a frame sequence into a fresh grid; returns the device grid.
+
+        Homogeneous stretches (same camera / image shape / cloud frame) are
+        fused ``window`` frames per device dispatch via lax.scan; anything
+        irregular falls back to per-frame steps.
+        """
         engine = self.engine
         grid = engine.init_grid()
         bucket = engine.point_bucket
-        for f in frames:
-            pcd, valid = pad_points(np.asarray(f.pcd, dtype=np.float32), bucket)
-            grid, _, _ = engine.step(
-                grid, pcd, valid, f.semantic_image, f.position, f.quaternion,
-                camera=f.camera, pcd_frame_id=f.pcd_frame_id,
-            )
+
+        def frame_key(f):
+            return (f.camera, f.pcd_frame_id, np.asarray(f.semantic_image).shape)
+
+        i = 0
+        n = len(frames)
+        while i < n:
+            j = i + 1
+            while (
+                j < n
+                and j - i < window
+                and frame_key(frames[j]) == frame_key(frames[i])
+            ):
+                j += 1
+            chunk = frames[i:j]
+            if len(chunk) > 1:
+                runner = engine.build_sequence_runner(
+                    camera=chunk[0].camera, pcd_frame_id=chunk[0].pcd_frame_id
+                )
+                padded = [
+                    pad_points(np.asarray(f.pcd, dtype=np.float32), bucket)
+                    for f in chunk
+                ]
+                stacked = {
+                    "image": jnp.asarray(np.stack([f.semantic_image for f in chunk])),
+                    "pcd": jnp.asarray(np.stack([p for p, _ in padded])),
+                    "valid": jnp.asarray(np.stack([v for _, v in padded])),
+                    "position": jnp.asarray(
+                        np.stack([np.asarray(f.position, np.float32) for f in chunk])
+                    ),
+                    "quaternion": jnp.asarray(
+                        np.stack([np.asarray(f.quaternion, np.float32) for f in chunk])
+                    ),
+                }
+                grid = runner(grid, stacked)
+            else:
+                f = chunk[0]
+                pcd, valid = pad_points(np.asarray(f.pcd, dtype=np.float32), bucket)
+                grid, _, _ = engine.step(
+                    grid, pcd, valid, f.semantic_image, f.position, f.quaternion,
+                    camera=f.camera, pcd_frame_id=f.pcd_frame_id,
+                )
+            i = j
         return grid
 
     def finalize(self, grid, name: str = "", use_pallas: Optional[bool] = None) -> np.ndarray:
