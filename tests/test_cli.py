@@ -1,0 +1,86 @@
+"""CLI launcher tests (python -m vision_semantic_segmentation_tpu ...)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vision_semantic_segmentation_tpu.__main__ import main as cli_main
+
+
+def _write_cfg(tmp_path, extra=""):
+    cfg_path = tmp_path / "exp.yaml"
+    cfg_path.write_text(
+        "MAPPING:\n"
+        "  BOUNDARY: [[100, 140], [800, 840]]\n"
+        "  POINT_BUCKET: 4096\n"
+        f"OUTPUT_DIR: '{tmp_path}/out'\n"
+        f"{extra}"
+    )
+    return str(cfg_path)
+
+
+def test_replay_cli(tmp_path, rng):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_mapping import make_frame
+    from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+    from vision_semantic_segmentation_tpu.runtime.io import FrameRecord, save_frames
+
+    cfg = get_cfg_defaults()
+    cfg.MAPPING.BOUNDARY = [[100, 140], [800, 840]]
+    inputs = tmp_path / "inputs"
+    inputs.mkdir()
+    frames = []
+    for i in range(2):
+        pts, img, position, quaternion = make_frame(rng, cfg, n=500)
+        frames.append(FrameRecord(pcd=pts, pcd_frame_id="world", semantic_image=img,
+                                  position=position, quaternion=quaternion, stamp=float(i)))
+    save_frames(frames, str(inputs / "seq.npz"))
+
+    cfg_path = _write_cfg(tmp_path)
+    cli_main(["replay", "--cfg", cfg_path, "--input-dir", str(inputs)])
+
+    out_maps = []
+    for root, _, files in os.walk(tmp_path / "out"):
+        out_maps += [f for f in files if f.startswith("global_map")]
+    assert out_maps, "replay CLI produced no map"
+
+
+def test_eval_cli(tmp_path):
+    import cv2
+
+    from vision_semantic_segmentation_tpu.mapping import LABEL_COLORS
+
+    gt = tmp_path / "gt"
+    gt.mkdir()
+    road = np.zeros((80, 80, 3), np.uint8)
+    road[:40] = 255
+    cv2.imwrite(str(gt / "bev-5cm-road.jpg"), road)
+    cv2.imwrite(str(gt / "bev-5cm-lanes.jpg"), np.zeros_like(road))
+    cv2.imwrite(str(gt / "bev-5cm-crosswalks.jpg"), np.zeros_like(road))
+    cv2.imwrite(str(gt / "bev-5cm-mask.jpg"), np.full_like(road, 255))
+
+    maps = tmp_path / "maps"
+    maps.mkdir()
+    pred = np.zeros((20, 20, 3), np.uint8)
+    pred[:10] = LABEL_COLORS[0][::-1]
+    cv2.imwrite(str(maps / "m.png"), pred)
+
+    cli_main(["eval", "--maps", str(maps), "--gt", str(gt)])
+
+
+def test_convert_cli(tmp_path):
+    import torch
+
+    sd = {"module.conv1.weight": torch.randn(4, 3, 3, 3)}
+    pth = tmp_path / "w.pth"
+    torch.save({"model": sd}, pth)
+    cli_main(["convert", str(pth)])
+    assert (tmp_path / "w.npz").exists()
+
+    from vision_semantic_segmentation_tpu.models import load_npz
+
+    tree = load_npz(str(tmp_path / "w.npz"))
+    assert tree["params"]["conv1"]["kernel"].shape == (3, 3, 3, 4)
