@@ -280,3 +280,44 @@ class TestGridSpec:
         assert padded.shape == (4, 256)
         assert valid.sum() == 100
         np.testing.assert_array_equal(padded[:, :100], pts)
+
+
+class TestFillBlackMode:
+    def test_majority_fill(self):
+        from vision_semantic_segmentation_tpu.mapping import fill_black_mode
+
+        img = np.zeros((5, 5, 3), dtype=np.uint8)
+        img[1, 1] = LABEL_COLORS[0]
+        img[1, 2] = LABEL_COLORS[0]
+        img[2, 1] = LABEL_COLORS[2]
+        out = np.asarray(fill_black_mode(jnp.asarray(img)))
+        # (1,1)'s neighborhood has 2x road, 1x lane -> road wins
+        np.testing.assert_array_equal(out[1, 1], LABEL_COLORS[0])
+        # far corner has no labels in reach -> stays black
+        np.testing.assert_array_equal(out[4, 4], [0, 0, 0])
+
+    def test_matches_scipy_mode(self, rng):
+        from scipy.stats import mode as scipy_mode
+
+        from vision_semantic_segmentation_tpu.mapping import fill_black_mode
+
+        cls = rng.integers(-1, 5, (12, 14))
+        img = np.zeros((12, 14, 3), np.uint8)
+        for i in range(5):
+            img[cls == i] = LABEL_COLORS[i]
+        out = np.asarray(fill_black_mode(jnp.asarray(img)))
+        # check interior pixels against scipy mode of first channel
+        first = np.asarray(LABEL_COLORS)[:, 0]
+        for y in range(1, 11):
+            for x in range(1, 13):
+                vals = [
+                    img[i, j, 0]
+                    for i in range(y - 1, y + 2)
+                    for j in range(x - 1, x + 2)
+                    if img[i, j, 0] != 0
+                ]
+                if not vals:
+                    assert out[y, x, 0] == 0
+                else:
+                    m = scipy_mode(vals, keepdims=False).mode
+                    assert out[y, x, 0] == m

@@ -11,6 +11,7 @@ from .renderer import (
     LABEL_COLORS,
     apply_filter,
     fill_black,
+    fill_black_mode,
     fill_edge,
     log_odds_to_probability,
     render_bev_map,
@@ -31,6 +32,7 @@ __all__ = [
     "LABEL_COLORS",
     "apply_filter",
     "fill_black",
+    "fill_black_mode",
     "fill_edge",
     "log_odds_to_probability",
     "render_bev_map",

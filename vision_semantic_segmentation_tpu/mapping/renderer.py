@@ -104,6 +104,40 @@ def fill_black(
     return out
 
 
+def fill_black_mode(
+    color_map: Array, label_colors: Array = LABEL_COLORS
+) -> Array:
+    """Fill every cell with the most frequent label in its 3x3 window.
+
+    Vectorized rewrite of the reference's per-pixel loop variant
+    (ref renderer.py:108-128 ``fill_black_for_loop``): per class, count
+    3x3 occurrences with shifted adds, then argmax the counts (zero-count
+    cells stay black).  Ties break toward the lower class index, matching
+    ``scipy.stats.mode``.
+    """
+    label_colors = jnp.asarray(label_colors, dtype=jnp.uint8)
+    num_classes = label_colors.shape[0]
+    h, w = color_map.shape[0], color_map.shape[1]
+
+    counts = []
+    for i in range(num_classes):
+        onehot = jnp.all(color_map == label_colors[i], axis=-1).astype(jnp.int32)
+        padded = jnp.pad(onehot, ((1, 1), (1, 1)))
+        acc = jnp.zeros_like(onehot)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                acc = acc + padded[dy : dy + h, dx : dx + w]
+        counts.append(acc)
+    counts = jnp.stack(counts, axis=-1)  # (H, W, C)
+    # scipy.stats.mode tie-break: the smallest *value* wins, so evaluate
+    # classes in ascending first-channel order (argmax takes the first max)
+    order = jnp.argsort(label_colors[:, 0])
+    winner = order[jnp.argmax(counts[..., order], axis=-1)]
+    any_hit = jnp.max(counts, axis=-1) > 0
+    out = label_colors[winner]
+    return jnp.where(any_hit[..., None], out, jnp.uint8(0))
+
+
 def resume_color(gray3: Array, label_colors: Array = LABEL_COLORS) -> Array:
     """Restore full RGB from a first-channel-keyed image (ref renderer.py:101-105)."""
     label_colors = jnp.asarray(label_colors, dtype=jnp.uint8)
