@@ -321,3 +321,31 @@ class TestFillBlackMode:
                 else:
                     m = scipy_mode(vals, keepdims=False).mode
                     assert out[y, x, 0] == m
+
+
+class TestDualCameraFusion:
+    def test_cam1_plus_cam6(self, rng):
+        """Dual-camera fusion into one grid (BASELINE.json config 4)."""
+        from vision_semantic_segmentation_tpu.geometry import camera_setup_6
+
+        cfg = small_cfg()
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        pts, img, position, quaternion = make_frame(rng, cfg, n=2000)
+        pcd_pad, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+
+        grid = engine.init_grid()
+        grid, _, vis1 = engine.step(grid, pcd_pad, valid, img, position, quaternion,
+                                    camera="camera1")
+        sum_after_cam1 = float(np.asarray(grid).sum())
+        grid, _, vis6 = engine.step(grid, pcd_pad, valid, img, position, quaternion,
+                                    camera="camera6")
+        sum_after_cam6 = float(np.asarray(grid).sum())
+
+        assert sum_after_cam1 > 0
+        # camera6 faces differently; its contribution differs from camera1's
+        assert sum_after_cam6 >= sum_after_cam1
+        assert int(np.asarray(vis1).sum()) != int(np.asarray(vis6).sum())
+
+        # per-camera compiled steps are cached independently
+        assert ("camera1", False) in engine._step_fns
+        assert ("camera6", False) in engine._step_fns

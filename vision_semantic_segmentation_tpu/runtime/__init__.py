@@ -9,6 +9,8 @@ from .io import (
 from .node import MappingNode, SegmentationNode
 from .replay import MappingReplay
 from .video import generate_video
+from .pipeline import FusedFramePipeline, network_to_channel_table
+from . import native_io
 
 __all__ = [
     "Message",
@@ -23,4 +25,7 @@ __all__ = [
     "SegmentationNode",
     "MappingReplay",
     "generate_video",
+    "FusedFramePipeline",
+    "network_to_channel_table",
+    "native_io",
 ]
