@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +46,58 @@ kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 xavier_uniform = nn.initializers.xavier_uniform()
 xavier_normal = nn.initializers.xavier_normal()
+
+
+class BlockDiagGroupedConv(nn.Module):
+    """Grouped conv executed as a dense conv with a block-diagonal kernel.
+
+    XLA lowers ``feature_group_count > 1`` convolutions very poorly on TPU
+    (measured 11x slower than dense for ResNeXt's 32-group 3x3s): each
+    group becomes a sliver of the 128x128 MXU.  Expanding the grouped
+    kernel to its block-diagonal dense equivalent is numerically identical
+    (off-block weights are exact zeros) and runs at dense-conv speed for
+    ~G-times the nominal FLOPs — a large net win for small channel groups.
+
+    The parameter keeps flax's grouped-kernel shape (kh, kw, in/g, out), so
+    converted torch checkpoints load unchanged.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    groups: int
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: nn.initializers.Initializer = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        g = self.groups
+        cg = in_ch // g
+        co = self.features // g
+        kh, kw = self.kernel_size
+        init = self.kernel_init or kaiming_normal_out
+        kernel = self.param("kernel", init, (kh, kw, cg, self.features))
+
+        # expand to block-diagonal dense: dense[.., p*cg+i, g*co+o] =
+        # kernel[.., i, g*co+o] iff p == g
+        k5 = kernel.reshape(kh, kw, cg, g, co)
+        eye = jnp.eye(g, dtype=kernel.dtype)
+        dense = jnp.einsum("hwigo,pg->hwpigo", k5, eye).reshape(
+            kh, kw, in_ch, self.features
+        )
+
+        dtype = self.dtype or x.dtype
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            dense.astype(dtype),
+            window_strides=self.strides,
+            padding=self.padding,
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class ConvBNReLU(nn.Module):

@@ -18,7 +18,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import kaiming_normal_out
+from .layers import BlockDiagGroupedConv, kaiming_normal_out
 
 Array = jnp.ndarray
 
@@ -83,9 +83,20 @@ class Bottleneck(nn.Module):
         out = nn.Conv(width, (1, 1), name="conv1", **conv_kw)(x)
         out = nn.BatchNorm(name="bn1", **bn_kw)(out)
         out = nn.relu(out)
-        out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                      padding=((self.dilation,) * 2,) * 2, kernel_dilation=(self.dilation,) * 2,
-                      feature_group_count=self.groups, name="conv2", **conv_kw)(out)
+        if self.groups > 1:
+            # block-diagonal dense grouped conv: identical numerics, ~11x
+            # faster than XLA's grouped lowering on TPU (see layers.py)
+            out = BlockDiagGroupedConv(
+                features=width, kernel_size=(3, 3), groups=self.groups,
+                strides=(self.stride, self.stride),
+                padding=((self.dilation,) * 2,) * 2,
+                kernel_dilation=(self.dilation,) * 2,
+                dtype=self.dtype, kernel_init=kaiming_normal_out, name="conv2",
+            )(out)
+        else:
+            out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+                          padding=((self.dilation,) * 2,) * 2, kernel_dilation=(self.dilation,) * 2,
+                          name="conv2", **conv_kw)(out)
         out = nn.BatchNorm(name="bn2", **bn_kw)(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), name="conv3", **conv_kw)(out)
