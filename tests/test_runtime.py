@@ -311,3 +311,18 @@ class TestFusedPipeline:
                 frames["position"][i], frames["quaternion"][i],
             )
         np.testing.assert_allclose(np.asarray(grid_scan), np.asarray(grid_loop), atol=1e-5)
+
+
+class TestDropObservability:
+    def test_drops_counted(self, tmp_path, rng):
+        cfg = small_cfg(tmp_path)
+        bus = TopicBus()
+        node = MappingNode(cfg, bus, engine=SemanticMappingEngine(cfg, evidence=np.eye(5)))
+        # image with no cloud/pose -> dropped, counted
+        img = np.zeros((8, 8, 3), np.uint8)
+        bus.publish("/camera1/semantic", img, stamp=1.0, frame_id="camera1")
+        assert node.dropped_frames == 1
+        bus.publish("/reduced_map", rng.random((4, 10)).astype(np.float32), stamp=1.0, frame_id="world")
+        bus.publish("/camera1/semantic", img, stamp=1.1, frame_id="camera1")
+        assert node.dropped_frames == 2  # pose still missing
+        assert node.fused_frames == 0

@@ -163,6 +163,11 @@ class MappingNode:
         # time-sync queues (ref mapping.py:91-104)
         self.pose_queue: List[Message] = []
         self.pcd_queue: List[Message] = []
+        # observability: the reference drops frames silently when queues are
+        # empty (ref mapping.py:281,284; SURVEY.md section 5 "failure
+        # detection: none") — count and log them here instead
+        self.dropped_frames = 0
+        self.fused_frames = 0
 
         bus.subscribe("/current_pose", self.pose_callback)
         bus.subscribe("/camera1/semantic", self.image_callback)
@@ -191,11 +196,21 @@ class MappingNode:
         """Fuse one semantic frame (ref mapping.py:261-355)."""
         if self.depth_method in ("points_map", "points_raw"):
             if not self.pcd_queue:
+                self.dropped_frames += 1
+                self.logger.log(
+                    f"Dropping frame at {msg.stamp}: no point cloud in queue "
+                    f"({self.dropped_frames} dropped so far)", level="warning",
+                )
                 return
             pcd_msg = self._sync(self.pcd_queue, msg.stamp)
         else:
             pcd_msg = None
         if not self.pose_queue:
+            self.dropped_frames += 1
+            self.logger.log(
+                f"Dropping frame at {msg.stamp}: no pose in queue "
+                f"({self.dropped_frames} dropped so far)", level="warning",
+            )
             return
         pose_msg = self._sync(self.pose_queue, msg.stamp)
 
@@ -221,6 +236,7 @@ class MappingNode:
                 position, quaternion, camera=msg.frame_id,
                 pcd_frame_id=pcd_msg.frame_id,
             )
+            self.fused_frames += 1
             # labeled cloud for downstream consumers (ref :316-317)
             self.bus.publish(
                 "/semantic_point_cloud",
