@@ -42,16 +42,20 @@ def quat_to_mat(q):
     return T
 
 
-def golden_frame(grid, pcd, image, position, quaternion, cfg, evidence):
+def golden_frame(grid, pcd, image, position, quaternion, cfg, evidence,
+                 velodyne_frame=False):
     """Independent numpy model of project_pcd + update_map (ref :357-444)."""
     cam = camera_setup_1()
-    T_v2b = velodyne_to_baselink()
-    T_b2o = quat_to_mat(quaternion)
-    T_b2o[:3, 3] = position
-    T_o2v = np.linalg.inv(T_b2o @ T_v2b)
-
     pcd_h = np.vstack([pcd[:3], np.ones((1, pcd.shape[1]))])
-    pcd_velo = T_o2v @ pcd_h
+    if velodyne_frame:
+        # points_raw mode: cloud already in the ego frame (ref :372-373)
+        pcd_velo = pcd_h
+    else:
+        T_v2b = velodyne_to_baselink()
+        T_b2o = quat_to_mat(quaternion)
+        T_b2o[:3, 3] = position
+        T_o2v = np.linalg.inv(T_b2o @ T_v2b)
+        pcd_velo = T_o2v @ pcd_h
     proj = cam.P @ pcd_velo
     ixy = (proj[:2] / proj[2]).astype(np.int32)
 
@@ -165,17 +169,42 @@ class TestEngineGoldenParity:
         a, b = run(), run()
         np.testing.assert_array_equal(a, b)
 
-    def test_velodyne_frame_points(self, rng):
-        """points_raw mode: the cloud is already in the ego frame (ref :372-373)."""
+    def test_velodyne_frame_points_golden(self, rng):
+        """points_raw mode: the cloud is already in the ego frame (ref :372-373).
+
+        Preserves the reference quirk that grid coordinates still use the
+        raw point xy + global offset (ref :404-409) even in ego frame.
+        """
         cfg = small_cfg()
         engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
-        pts, img, position, quaternion = make_frame(rng, cfg, n=200)
+        # ego-frame points in front of the camera; grid coords come from the
+        # same values + offset (quirk), so place them in the grid window too
+        n = 800
+        res = cfg.MAPPING.RESOLUTION
+        x0 = 100 - PCD_ORIGIN_OFFSET[0]
+        y0 = 800 - PCD_ORIGIN_OFFSET[1]
+        snap = lambda v, lo: lo + (np.floor((v - lo) / res) + 0.5) * res
+        pts = np.vstack([
+            snap(rng.uniform(5, 40, n), x0),
+            snap(rng.uniform(-10, 10, n), y0),
+            rng.uniform(-2, 0, n),
+            rng.uniform(0, 20, n),
+        ]).astype(np.float32)
+        img = np.zeros((1440, 1920, 3), np.uint8)
+        img[:] = np.asarray(cfg.LABEL_COLORS[2], np.uint8)  # all lane
+
         pcd_pad, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        position = np.zeros(3)
+        quaternion = np.array([0, 0, 0, 1.0])
         grid, _, vis = engine.step(
             engine.init_grid(), pcd_pad, valid, img, position, quaternion,
             pcd_frame_id="velodyne",
         )
-        assert np.asarray(grid).shape == engine.grid_spec.shape
+        golden = golden_frame(
+            np.zeros(engine.grid_spec.shape), pts.astype(np.float64),
+            img, position, quaternion, cfg, np.eye(5), velodyne_frame=True,
+        )
+        np.testing.assert_allclose(np.asarray(grid), golden, atol=1e-5)
 
 
 class TestPlanar:
