@@ -167,6 +167,7 @@ class SemanticMappingEngine:
         camera_id: str,
         pcd_in_velodyne_frame: bool,
         image_is_class_id: bool = False,
+        image_full_hw=None,
     ):
         """Closure computing per-point (cell, cls, vis, upd, boost).
 
@@ -210,14 +211,19 @@ class SemanticMappingEngine:
             # visibility: in front, in range, inside the image (ref :378-383)
             front = (xyz_velo[0] > 0) & (xyz_velo[0] < range_max)
             img_h, img_w = image.shape[0], image.shape[1]
+            bound_h, bound_w = image_full_hw if image_full_hw else (img_h, img_w)
             in_img = (
-                (ixy[0] >= 0) & (ixy[0] < img_w) & (ixy[1] >= 0) & (ixy[1] < img_h)
+                (ixy[0] >= 0) & (ixy[0] < bound_w) & (ixy[1] >= 0) & (ixy[1] < bound_h)
             )
             vis = valid & front & in_img
 
             # gather point labels from the semantic image (ref :387)
-            gx = jnp.clip(ixy[0], 0, img_w - 1)
-            gy = jnp.clip(ixy[1], 0, img_h - 1)
+            gx = jnp.clip(ixy[0], 0, bound_w - 1)
+            gy = jnp.clip(ixy[1], 0, bound_h - 1)
+            if image_full_hw:
+                # nearest-downscale the gather indices (see docstring)
+                gx = gx * img_w // bound_w
+                gy = gy * img_h // bound_h
             if image_is_class_id:
                 cls = image[gy, gx].astype(jnp.int32)
             else:

@@ -25,7 +25,7 @@ import numpy as np
 from ..inference.predictor import IMAGENET_MEAN, IMAGENET_STD
 from ..mapping.engine import SemanticMappingEngine
 from ..models.build import build_model
-from ..ops.resize import resize_area, resize_nearest
+from ..ops.resize import resize_area
 
 Array = jnp.ndarray
 
@@ -67,7 +67,7 @@ class FusedFramePipeline:
 
     def _build(self, camera: str, image_hw: Tuple[int, int], velodyne_frame: bool):
         pointwise = self.engine._build_pointwise(
-            camera, velodyne_frame, image_is_class_id=True
+            camera, velodyne_frame, image_is_class_id=True, image_full_hw=image_hw
         )
         apply_update = self.engine._build_update()
         model = self.model
@@ -88,7 +88,9 @@ class FusedFramePipeline:
             xf = (xf - mean) / std
             logits = model.apply(variables, xf[None], train=False, upsample_pred=False)
             net_labels = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
-            net_labels = resize_nearest(net_labels, full_hw)
+            # channel image stays at decoder resolution; the engine gathers
+            # with nearest-downscaled indices (exact INTER_NEAREST
+            # equivalence, no full-res upsample materialized)
             channel_img = table[jnp.clip(net_labels, 0, table.shape[0] - 1)]
 
             # projection + gather + evidence update (ref mapping.py:357-444)
