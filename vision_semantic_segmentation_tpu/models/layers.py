@@ -100,6 +100,62 @@ class BlockDiagGroupedConv(nn.Module):
         )
 
 
+class ShiftedDepthwiseConv(nn.Module):
+    """Depthwise conv as shifted multiply-adds (VPU-native).
+
+    Numerically identical to ``nn.Conv(feature_group_count=C)`` with the
+    same parameter layout (kernel (kh, kw, 1, C), optional bias), but each
+    tap is an elementwise multiply-add over the shifted input — a shape
+    XLA fuses into a single vectorized pass instead of its slow grouped
+    lowering.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
+    dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: nn.initializers.Initializer = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = self.kernel_size
+        init = self.kernel_init or kaiming_normal_out
+        kernel = self.param("kernel", init, (kh, kw, 1, self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+
+        dtype = self.dtype or x.dtype
+        xc = x.astype(dtype)
+        kc = kernel.astype(dtype)
+        (ph0, ph1), (pw0, pw1) = self.padding
+        xp = jnp.pad(xc, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+        dh, dw = self.dilation
+        sh, sw = self.strides
+        out_h = (xp.shape[1] - ((kh - 1) * dh + 1)) // sh + 1
+        out_w = (xp.shape[2] - ((kw - 1) * dw + 1)) // sw + 1
+
+        acc = None
+        for i in range(kh):
+            for j in range(kw):
+                sl = xp[
+                    :,
+                    i * dh : i * dh + (out_h - 1) * sh + 1 : sh,
+                    j * dw : j * dw + (out_w - 1) * sw + 1 : sw,
+                    :,
+                ]
+                term = sl * kc[i, j, 0]
+                acc = term if acc is None else acc + term
+        if bias is not None:
+            acc = acc + bias.astype(dtype)
+        return acc
+
+
 class ConvBNReLU(nn.Module):
     """Conv2d with optional BN and ReLU (ref conv.py:48-100).
 
@@ -130,18 +186,37 @@ class ConvBNReLU(nn.Module):
         else:
             p = _pair(self.padding)
             pad = ((p[0], p[0]), (p[1], p[1]))
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=_pair(self.kernel_size),
-            strides=_pair(self.stride),
-            padding=pad,
-            kernel_dilation=_pair(self.dilation),
-            feature_group_count=self.groups,
-            use_bias=not self.bn,
-            dtype=self.dtype,
-            kernel_init=self.kernel_init,
-            name="conv",
-        )(x)
+
+        in_ch = x.shape[-1]
+        if self.groups == in_ch and self.features == in_ch:
+            # Depthwise conv: XLA's feature_group_count lowering is slow on
+            # TPU (same failure mode as grouped convs), so run it as
+            # explicit shifted multiply-adds on the VPU — XLA fuses the
+            # taps into one pass.  Parameter layout matches nn.Conv.
+            x = ShiftedDepthwiseConv(
+                features=self.features,
+                kernel_size=_pair(self.kernel_size),
+                strides=_pair(self.stride),
+                padding=pad,
+                dilation=_pair(self.dilation),
+                use_bias=not self.bn,
+                dtype=self.dtype,
+                kernel_init=self.kernel_init,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=_pair(self.kernel_size),
+                strides=_pair(self.stride),
+                padding=pad,
+                kernel_dilation=_pair(self.dilation),
+                feature_group_count=self.groups,
+                use_bias=not self.bn,
+                dtype=self.dtype,
+                kernel_init=self.kernel_init,
+                name="conv",
+            )(x)
         if self.bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
