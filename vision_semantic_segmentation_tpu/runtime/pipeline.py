@@ -71,7 +71,6 @@ class FusedFramePipeline:
         )
         apply_update = self.engine._build_update()
         model = self.model
-        variables = self.variables
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
         table = self.channel_table
@@ -79,7 +78,11 @@ class FusedFramePipeline:
         full_hw = image_hw
 
         @jax.jit
-        def step(grid, frame_u8, pcd, valid, position, quaternion):
+        def step(variables, grid, frame_u8, pcd, valid, position, quaternion):
+            # NOTE: model variables are explicit arguments, not closure
+            # captures — closed-over arrays become executable-embedded
+            # constants, which this runtime handles pathologically for
+            # ~100MB parameter trees.
             # segmentation (ref node:82-110, fused)
             x = frame_u8
             if scale < 1.0:
@@ -110,6 +113,7 @@ class FusedFramePipeline:
         if key not in self._step_cache:
             self._step_cache[key] = self._build(camera, image_hw, key[2])
         return self._step_cache[key](
+            self.variables,
             grid,
             jnp.asarray(frame_u8),
             jnp.asarray(pcd),
@@ -137,18 +141,22 @@ class FusedFramePipeline:
         position (T,3), quaternion (T,4).
         """
         step = self._build(camera, image_hw, pcd_frame_id == "velodyne")
+        self_variables = self.variables
 
         @jax.jit
-        def run(grid, frames):
+        def run_impl(variables, grid, frames):
             def body(g, frame):
                 # nested jit inlines under the outer trace
                 g, _ = step(
-                    g, frame["image"], frame["pcd"], frame["valid"],
+                    variables, g, frame["image"], frame["pcd"], frame["valid"],
                     frame["position"], frame["quaternion"],
                 )
                 return g, ()
 
             grid, _ = jax.lax.scan(body, grid, frames)
             return grid
+
+        def run(grid, frames):
+            return run_impl(self_variables, grid, frames)
 
         return run
