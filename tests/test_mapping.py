@@ -378,3 +378,50 @@ class TestDualCameraFusion:
         # per-camera compiled steps are cached independently
         assert ("camera1", False) in engine._step_fns
         assert ("camera6", False) in engine._step_fns
+
+
+class TestPlanarGolden:
+    def test_planar_increments_match_numpy(self, rng):
+        """Golden check of the homography planar path (ref :446-488)."""
+        import cv2
+
+        cfg = small_cfg()
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        spec = engine.grid_spec
+
+        img = np.zeros((1440, 1920, 3), np.uint8)
+        img[:, :960] = np.asarray(cfg.LABEL_COLORS[0], np.uint8)  # road left half
+        img[:, 960:] = np.asarray(cfg.LABEL_COLORS[2], np.uint8)  # lane right half
+        T_local_to_base = np.eye(4)
+
+        grid = np.asarray(engine.update_map_planar(engine.init_grid(), img, T_local_to_base))
+
+        # independent numpy model using cv2 homography/warp
+        anchors = engine.anchor_points_2()
+        pts_map_h = np.vstack([anchors, np.ones((1, 4))])
+        pts_local = engine.discretize_matrix_inv() @ pts_map_h
+        pts_local[2, :] = 0.0
+        pts_local_h = np.vstack([pts_local, np.ones((1, 4))])
+        T_base_to_velodyne = np.linalg.inv(engine.T_velodyne_to_baselink)
+        pts_velodyne = T_base_to_velodyne @ pts_local_h
+        proj = engine.cameras["camera1"].P @ pts_velodyne
+        pts_image = (proj[:2] / proj[2]).T
+
+        H_cv, _ = cv2.findHomography(pts_image, anchors.T)
+        warped = cv2.warpPerspective(
+            img, H_cv, (spec.width, spec.height), flags=cv2.INTER_NEAREST
+        )
+        sep = int((8 - spec.boundary[0][0]) / spec.resolution)
+        golden = np.zeros(spec.shape, np.float32)
+        col_ok = np.zeros((spec.height, spec.width), bool)
+        col_ok[:, max(sep, 0):] = True
+        colors = np.asarray(cfg.LABEL_COLORS, np.uint8)
+        for i in range(5):
+            match = (warped[..., 0] == colors[i, 0]) & col_ok
+            golden[..., i] += match
+
+        # warp nearest-sampling tie-breaks differ slightly between cv2 and
+        # our gather; compare cellwise agreement
+        agree = (grid > 0) == (golden > 0)
+        assert agree.mean() > 0.99
+        np.testing.assert_allclose(grid.sum(), golden.sum(), rtol=0.02)
