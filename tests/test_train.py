@@ -288,3 +288,31 @@ class TestTrainerEndToEnd:
             meters = trainer.train_one_epoch(Loader(), epoch)
         assert meters.meters["loss"].global_avg < loss0
         assert trainer.train_metric.global_avg > 0.5
+
+
+class TestRemat:
+    def test_remat_matches_plain(self, rng):
+        import optax
+        from vision_semantic_segmentation_tpu.models import build_model
+        from vision_semantic_segmentation_tpu.parallel import TrainState, make_train_step
+        from vision_semantic_segmentation_tpu.config import get_demo_cfg_defaults
+
+        cfg = get_demo_cfg_defaults()
+        cfg.MODEL.TYPE = "Dummy"
+        cfg.DATASET.NUM_CLASSES = 4
+        model, *_ = build_model(cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        tx = optax.sgd(0.1)
+
+        batch = {
+            "image": jnp.asarray(rng.standard_normal((4, 8, 8, 3)).astype(np.float32)),
+            "label": jnp.asarray(rng.integers(0, 4, (4, 8, 8)).astype(np.int32)),
+        }
+        outs = []
+        for remat in (False, True):
+            state = TrainState.create(model, variables, tx, jax.random.PRNGKey(1))
+            step = jax.jit(make_train_step(num_classes=4, remat=remat))
+            state, metrics = step(state, batch)
+            outs.append((float(metrics["loss"]), jax.tree.leaves(state.params)[0]))
+        assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-6)
+        np.testing.assert_allclose(np.asarray(outs[0][1]), np.asarray(outs[1][1]), atol=1e-6)

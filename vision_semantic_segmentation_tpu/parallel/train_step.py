@@ -64,6 +64,7 @@ def make_train_step(
     ignore_index: int = 255,
     max_grad_norm: float = 0.0,
     freeze_bn_stats: bool = False,
+    remat: bool = False,
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """Build the fused train step (fwd + loss + bwd + update + metrics).
 
@@ -71,20 +72,29 @@ def make_train_step(
     (see :func:`jit_train_step`) to get data parallelism.
     ``freeze_bn_stats`` keeps BatchNorm running statistics fixed — the
     eval-mode half of the reference's freeze_bn (ref core/nn/freezer.py:100-106).
+    ``remat`` rematerializes the forward under the backward pass
+    (jax.checkpoint): trades FLOPs for activation memory so large batches /
+    resolutions fit HBM.
     """
 
     def train_step(state: TrainState, batch: Dict[str, Array]):
         rng, dropout_rng = jax.random.split(state.rng)
 
-        def loss_fn(params):
-            logits, mutated = state.apply_fn(
+        def forward(params, image):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"],
+                image,
                 train=True,
                 upsample_pred=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            logits, mutated = forward(params, batch["image"])
             loss = cross_entropy_loss(logits, batch["label"], ignore_index=ignore_index)
             return loss, (logits, mutated["batch_stats"])
 

@@ -41,7 +41,21 @@ class Trainer:
     """Config-driven trainer (ref train.py:163-243)."""
 
     def __init__(self, cfg, output_dir: str = "", logger=None, mesh=None,
-                 tensorboard: bool = False):
+                 tensorboard: bool = False, remat: bool = False,
+                 distributed: bool = False):
+        """Args:
+            mesh: device mesh; defaults to all local devices on a 'data' axis.
+            remat: rematerialize activations in the backward (memory saver).
+            distributed: call ``jax.distributed.initialize()`` first so the
+                mesh spans every host's devices — the entirety of the
+                launcher the reference needed torch.distributed.launch +
+                env-var rendezvous for (ref distributed_train.py:324-337).
+        """
+        if distributed and jax.process_count() == 1:
+            try:
+                jax.distributed.initialize()
+            except (ValueError, RuntimeError):
+                pass  # single-process run without coordinator config
         self.cfg = cfg
         self.output_dir = output_dir
         self.logger = logger
@@ -74,6 +88,7 @@ class Trainer:
                 num_classes,
                 max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
                 freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
+                remat=remat,
             ),
             self.mesh,
         )
