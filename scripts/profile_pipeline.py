@@ -1,4 +1,9 @@
-"""Stage-level profiling of the e2e pipeline on real TPU."""
+"""Stage-level profiling of the e2e pipeline on real TPU.
+
+Timing methodology for the axon tunnel runtime: block_until_ready does not
+force completion, so every measurement scans a frame window on device and
+ends with a small host readback.
+"""
 import sys
 import time
 
@@ -12,59 +17,64 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from vision_semantic_segmentation_tpu.config import get_cfg_defaults
-from vision_semantic_segmentation_tpu.mapping import PCD_ORIGIN_OFFSET, SemanticMappingEngine, pad_points
+from vision_semantic_segmentation_tpu.mapping import (
+    PCD_ORIGIN_OFFSET,
+    SemanticMappingEngine,
+    pad_points,
+)
 from vision_semantic_segmentation_tpu.models import build_backbone, deeplab_from_cfg
 from vision_semantic_segmentation_tpu.models.aspp import ASPP
-from vision_semantic_segmentation_tpu.ops.resize import resize_nearest
-from vision_semantic_segmentation_tpu.ops.colormap import apply_color_map, MAPILLARY_19_PALETTE
+from vision_semantic_segmentation_tpu.models.decoder import Decoder
+
+H, W = 1440, 1920
+T = 4
 
 
-def bench_fn(name, fn, *args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def scan_time(name, apply_fn, variables, *inputs, n=2):
+    """Time apply_fn over a T-frame scan with a readback barrier."""
+
+    @jax.jit
+    def run(v, *xs):
+        def body(acc, frame):
+            out = apply_fn(v, *([f[None] for f in frame] if isinstance(frame, tuple) else [frame[None]]))
+            return acc + jnp.sum(out.astype(jnp.float32).reshape(-1)[:1]), ()
+
+        xs_stacked = xs[0] if len(xs) == 1 else tuple(xs)
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), xs_stacked)
+        return acc
+
+    _ = float(run(variables, *inputs))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:40s} {dt * 1e3:8.2f} ms")
-    return dt
+        acc = run(variables, *inputs)
+    _ = float(acc)
+    print(f"{name:45s} {(time.perf_counter() - t0) / n / T * 1e3:8.1f} ms/frame", flush=True)
 
 
 def main():
-    H, W = 1440, 1920
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((1, H, W, 3)).astype(np.float32))
-
     cfg = get_cfg_defaults()
     net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+    x = jnp.asarray(rng.standard_normal((T, H, W, 3)).astype(np.float32))
 
-    # backbone variants
-    for name in ["resnet50", "resnext50_32x4d"]:
-        bb = build_backbone(name, 8, dtype=jnp.bfloat16)
-        v = bb.init(jax.random.PRNGKey(0), x[:, :64, :64], train=False)
-        f = jax.jit(lambda v, x: bb.apply(v, x, train=False)["feature"])
-        bench_fn(f"backbone {name} os8 bf16", f, v, x)
+    bb = build_backbone(net_cfg.MODEL.BACKBONE, net_cfg.MODEL.OUTPUT_STRIDE, dtype=jnp.bfloat16)
+    vb = bb.init(jax.random.PRNGKey(0), x[:1, :64, :64], train=False)
+    scan_time("backbone", lambda v, xi: bb.apply(v, xi, train=False)["feature"], vb, x)
 
-    # full model
+    fh, fw = H // 8, W // 8
+    feat = jnp.asarray(rng.standard_normal((T, fh, fw, 2048)).astype(np.float32))
+    aspp = ASPP(out_channels=256, atrous_dilation=(1, 12, 24, 36), dtype=jnp.bfloat16)
+    va = aspp.init(jax.random.PRNGKey(0), feat[:1], train=False)
+    scan_time("aspp", lambda v, xi: aspp.apply(v, xi, train=False), va, feat)
+
     model = deeplab_from_cfg(net_cfg, dtype=jnp.bfloat16)
-    v = model.init(jax.random.PRNGKey(0), x[:, :64, :64], train=False)
-    f_full = jax.jit(lambda v, x: model.apply(v, x, train=False, upsample_pred=False))
-    logits = f_full(v, x)
-    print("logits shape:", logits.shape)
-    bench_fn("deeplab full fwd (no upsample)", f_full, v, x)
+    vm = model.init(jax.random.PRNGKey(0), x[:1, :64, :64], train=False)
+    scan_time(
+        "deeplab full fwd (no upsample)",
+        lambda v, xi: model.apply(v, xi, train=False, upsample_pred=False), vm, x,
+    )
 
-    # argmax + nearest resize + colorize
-    @jax.jit
-    def post(logits):
-        labels = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
-        labels = resize_nearest(labels, (H, W))
-        return apply_color_map(labels, jnp.asarray(MAPILLARY_19_PALETTE))
-
-    sem_rgb = post(logits)
-    bench_fn("argmax+resize+colorize", post, logits)
-
-    # engine step
+    # engine step over the default 2000^2 grid
     engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
     x0m = 100 - PCD_ORIGIN_OFFSET[0]
     y0m = 800 - PCD_ORIGIN_OFFSET[1]
@@ -75,24 +85,23 @@ def main():
         rng.uniform(0, 20, 100_000),
     ]).astype(np.float32)
     pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+    sem = np.zeros((H, W, 3), np.uint8)
+    sem[:] = np.array(cfg.LABEL_COLORS[0], np.uint8)
+    frames = {
+        "image": jnp.asarray(np.broadcast_to(sem, (T, H, W, 3)).copy()),
+        "pcd": jnp.asarray(np.broadcast_to(pcd, (T, *pcd.shape)).copy()),
+        "valid": jnp.asarray(np.broadcast_to(valid, (T, *valid.shape)).copy()),
+        "position": jnp.asarray(np.tile([x0m - 6.0, y0m + 20.0, 0.0], (T, 1)).astype(np.float32)),
+        "quaternion": jnp.asarray(np.tile([0, 0, 0, 1.0], (T, 1)).astype(np.float32)),
+    }
+    run = engine.build_sequence_runner()
     grid = engine.init_grid()
-    pos = jnp.asarray([x0m - 6.0, y0m + 20.0, 0.0], jnp.float32)
-    quat = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
-    pcd_j, valid_j = jnp.asarray(pcd), jnp.asarray(valid)
-
-    def engine_step(grid):
-        g, _, _ = engine.step(grid, pcd_j, valid_j, sem_rgb, pos, quat)
-        return g
-
-    bench_fn("engine step (dedupe)", engine_step, grid)
-
-    engine2 = SemanticMappingEngine(cfg, evidence=np.eye(5), duplicate_semantics="accumulate")
-
-    def engine_step2(grid):
-        g, _, _ = engine2.step(grid, pcd_j, valid_j, sem_rgb, pos, quat)
-        return g
-
-    bench_fn("engine step (accumulate)", engine_step2, grid)
+    _ = float(jnp.sum(run(grid, frames)[:1, :1]))
+    t0 = time.perf_counter()
+    for _ in range(2):
+        grid = run(grid, frames)
+    _ = float(jnp.sum(grid[:1, :1]))
+    print(f"{'engine scan (RGB path)':45s} {(time.perf_counter() - t0) / 2 / T * 1e3:8.1f} ms/frame")
 
 
 if __name__ == "__main__":
