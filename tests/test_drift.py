@@ -40,7 +40,7 @@ def test_probability_drift_budget(rng):
         golden = golden_frame(golden, pts.astype(np.float64), img, position,
                               quaternion, cfg, evidence)
 
-    ours = np.asarray(grid, dtype=np.float64)
+    ours = SemanticMappingEngine.to_hwc(grid).astype(np.float64)
     touched = golden.sum(axis=2) != 0
     assert touched.sum() > 1000, "fixture did not exercise enough cells"
 

@@ -131,7 +131,7 @@ class TestEngineGoldenParity:
             np.zeros(engine.grid_spec.shape), pts.astype(np.float64),
             img, position, quaternion, cfg, evidence,
         )
-        ours = np.asarray(grid)
+        ours = SemanticMappingEngine.to_hwc(grid)
         assert ours.sum() > 0, "no points landed on the grid — bad fixture"
         np.testing.assert_allclose(ours, golden, atol=1e-5)
 
@@ -152,7 +152,7 @@ class TestEngineGoldenParity:
             np.zeros(engine.grid_spec.shape), pts.astype(np.float64),
             img, position, quaternion, cfg, evidence,
         )
-        np.testing.assert_allclose(np.asarray(grid), golden, atol=1e-5)
+        np.testing.assert_allclose(SemanticMappingEngine.to_hwc(grid), golden, atol=1e-5)
 
     def test_multi_frame_determinism(self, rng):
         cfg = small_cfg()
@@ -204,7 +204,7 @@ class TestEngineGoldenParity:
             np.zeros(engine.grid_spec.shape), pts.astype(np.float64),
             img, position, quaternion, cfg, np.eye(5), velodyne_frame=True,
         )
-        np.testing.assert_allclose(np.asarray(grid), golden, atol=1e-5)
+        np.testing.assert_allclose(SemanticMappingEngine.to_hwc(grid), golden, atol=1e-5)
 
 
 class TestPlanar:
@@ -215,7 +215,7 @@ class TestPlanar:
         img[:] = np.array(cfg.LABEL_COLORS[0], dtype=np.uint8)
         T_local_to_base = np.eye(4)
         grid = engine.update_map_planar(engine.init_grid(), img, T_local_to_base)
-        out = np.asarray(grid)
+        out = SemanticMappingEngine.to_hwc(grid)
         assert out.shape == engine.grid_spec.shape
         assert (out >= 0).all()
         sep = int((8 - cfg.MAPPING.BOUNDARY[0][0]) / cfg.MAPPING.RESOLUTION)
@@ -394,7 +394,9 @@ class TestPlanarGolden:
         img[:, 960:] = np.asarray(cfg.LABEL_COLORS[2], np.uint8)  # lane right half
         T_local_to_base = np.eye(4)
 
-        grid = np.asarray(engine.update_map_planar(engine.init_grid(), img, T_local_to_base))
+        grid = SemanticMappingEngine.to_hwc(
+            engine.update_map_planar(engine.init_grid(), img, T_local_to_base)
+        )
 
         # independent numpy model using cv2 homography/warp
         anchors = engine.anchor_points_2()

@@ -21,7 +21,8 @@ class TestFusedRender:
         grid = rng.random((h, w, 5)).astype(np.float32)
         grid[rng.random((h, w)) < 0.3] = 0.0  # unexplored cells
 
-        packed = render_bev_map_fused(jnp.asarray(grid), LABEL_COLORS, tile_h=32, interpret=True)
+        planar = jnp.asarray(np.moveaxis(grid, -1, 0))
+        packed = render_bev_map_fused(planar, LABEL_COLORS, tile_h=32, interpret=True)
         ours = np.asarray(unpack_rgba_image(packed))
 
         ref = np.asarray(render_bev_map(apply_filter(jnp.asarray(grid)), LABEL_COLORS))
@@ -30,7 +31,7 @@ class TestFusedRender:
         assert mismatch < 2e-3, f"fused render mismatch {mismatch:.5f}"
 
     def test_zero_grid_black(self):
-        grid = jnp.zeros((32, 64, 5), jnp.float32)
+        grid = jnp.zeros((5, 32, 64), jnp.float32)
         packed = render_bev_map_fused(grid, LABEL_COLORS, tile_h=16, interpret=True)
         assert np.asarray(packed).sum() == 0
 

@@ -159,7 +159,21 @@ class SemanticMappingEngine:
 
     # -- state --------------------------------------------------------------
     def init_grid(self) -> Array:
-        return jnp.zeros(self.grid_spec.shape, dtype=jnp.float32)
+        """Fresh evidence grid in the device layout: planar (C, H, W).
+
+        TPU memory tiles the last TWO dims to (8, 128); an (H, W, 5) layout
+        pads the 5-channel minor dim to 128 lanes — 25.6x the memory (the
+        full-route 5000x7000x5 grid would "occupy" 17.9 GB).  Channels-first
+        keeps the big W axis on the lanes.  Use :meth:`to_hwc` to get the
+        reference's (H, W, C) view for rendering/eval on host.
+        """
+        spec = self.grid_spec
+        return jnp.zeros((spec.num_classes, spec.height, spec.width), dtype=jnp.float32)
+
+    @staticmethod
+    def to_hwc(grid) -> np.ndarray:
+        """Planar device grid -> reference (H, W, C) numpy layout."""
+        return np.moveaxis(np.asarray(grid), 0, -1)
 
     # -- fused frame step ----------------------------------------------------
     def _build_pointwise(
@@ -255,14 +269,16 @@ class SemanticMappingEngine:
 
         Shared by the engine step and the fused pipeline.
         """
-        evidence_T = jnp.asarray(self.evidence.T)  # row i = evidence column i
+        # (C_chan, C_obs): column i is the additive evidence when class i
+        # is observed (ref mapping.py:424 uses confusion_matrix[:, i])
+        self_evidence = jnp.asarray(self.evidence, dtype=jnp.float32)
         spec = self.grid_spec
         h, w = spec.height, spec.width
         lane = self.lane_channel
         use_intensity = self.use_intensity and lane >= 0
         dedupe = self.duplicate_semantics == "reference"
 
-        num_cls = evidence_T.shape[0]
+        num_cls = self_evidence.shape[0]
         sentinel = h * w * num_cls
 
         def _segmented_sum(flags_first, values):
@@ -306,19 +322,23 @@ class SemanticMappingEngine:
 
             n = ksort.shape[0]
             arange_n = jnp.arange(n)
-            # unique scatter targets: real key at segment lasts, disjoint
+            # unique scatter targets in the planar (C, H*W) layout: the
+            # (cell, class) key maps to class * HW + cell; disjoint
             # out-of-range slots elsewhere (dropped) -> unique_indices holds
-            obs_idx = jnp.where(is_last & kvalid, ksort, sentinel + arange_n)
-            observations = jnp.zeros((h * w * num_cls,), grid.dtype)
+            cls_s = ksort % num_cls
+            cell_s = ksort // num_cls
+            obs_idx = jnp.where(is_last & kvalid, cls_s * (h * w) + cell_s,
+                                sentinel + arange_n)
+            observations = jnp.zeros((num_cls * h * w,), grid.dtype)
             observations = observations.at[obs_idx].add(
                 obs_at_last, mode="drop", unique_indices=True
             )
             delta = jnp.matmul(
-                observations.reshape(h * w, num_cls),
-                evidence_T,
+                jnp.asarray(self_evidence),  # (C_chan, C_obs)
+                observations.reshape(num_cls, h * w),
                 precision=jax.lax.Precision.HIGHEST,
             )
-            grid = grid + delta.reshape(h, w, num_cls)
+            grid = grid + delta.reshape(num_cls, h, w)
 
             # --- LiDAR intensity lane boost (ref :427-437) -----------------
             # Retro-reflective returns (paint) have extreme intensities; +2
@@ -337,7 +357,7 @@ class SemanticMappingEngine:
                 boost_buf = boost_buf.at[bidx].add(
                     2.0 * bstat, mode="drop", unique_indices=True
                 )
-                grid = grid.at[:, :, lane].add(boost_buf.reshape(h, w))
+                grid = grid.at[lane].add(boost_buf.reshape(h, w))
 
             return grid
 
@@ -483,5 +503,5 @@ class SemanticMappingEngine:
         first_channel = image_on_map[..., 0]
         for i in range(len(self.label_names)):
             match = (first_channel == int(self.label_colors[i, 0])) & col_ok
-            grid = grid.at[:, :, i].add(match.astype(grid.dtype))
+            grid = grid.at[i].add(match.astype(grid.dtype))
         return jnp.maximum(grid, 0.0)

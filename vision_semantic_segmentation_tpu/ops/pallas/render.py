@@ -93,15 +93,15 @@ def render_bev_map_fused(
     :func:`unpack_rgba_image` for (H, W, 3) uint8.
 
     Args:
-        grid: (H, W, C) float32 evidence grid.
+        grid: planar (C, H, W) float32 evidence grid (the engine's device
+            layout — an (H, W, C) grid would tile-pad C to 128 lanes).
         label_colors: (C, 3) uint8 palette.
     """
-    h, w, num_classes = grid.shape
+    num_classes, h, w = grid.shape
     assert num_classes == len(label_colors)
 
-    # reflect-101 pad (cv2 filter2D border) + channels-first planar layout
-    padded = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)), mode="reflect")
-    planar = jnp.transpose(padded, (2, 0, 1))  # (C, H+2, W+2)
+    # reflect-101 pad on the spatial dims (cv2 filter2D border)
+    planar = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="reflect")  # (C, H+2, W+2)
 
     num_tiles = pl.cdiv(h, tile_h)
     # Mosaic DMA slices must be (8, 128)-tile aligned: every tile

@@ -263,8 +263,10 @@ class MappingNode:
                 self.input_list, osp.join(self.cfg.MAPPING.INPUT_DIR, "input_list.npz")
             )
 
-        grid = apply_filter(self.grid)
-        color_map = np.asarray(render_bev_map(grid, self.label_colors))
+        import jax.numpy as jnp
+
+        hwc = jnp.asarray(SemanticMappingEngine.to_hwc(self.grid))
+        color_map = np.asarray(render_bev_map(apply_filter(hwc), self.label_colors))
 
         makedirs(self.output_dir, exist_ok=True)
         output_file = osp.join(self.output_dir, "global_map.png")

@@ -111,8 +111,8 @@ class MappingReplay:
             packed = render_bev_map_fused(jnp.asarray(grid), self.label_colors)
             color_map = np.asarray(unpack_rgba_image(packed))
         else:
-            grid = apply_filter(grid)
-            color_map = np.asarray(render_bev_map(grid, self.label_colors))
+            hwc = jnp.asarray(SemanticMappingEngine.to_hwc(grid))
+            color_map = np.asarray(render_bev_map(apply_filter(hwc), self.label_colors))
 
         makedirs(self.output_dir, exist_ok=True)
         suffix = f"_{name}" if name else ""
