@@ -121,6 +121,6 @@ class TestShardedGrid:
         engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
         mesh = create_mesh(axis_names=("grid",), devices=devices)
         grid = init_sharded_grid(engine, mesh)
-        # row axis split over 8 devices
-        assert grid.sharding.spec == jax.sharding.PartitionSpec("grid")
-        assert grid.shape[0] % 8 == 0
+        # planar (C, H, W): row axis (dim 1) split over 8 devices
+        assert grid.sharding.spec == jax.sharding.PartitionSpec(None, "grid")
+        assert grid.shape[1] % 8 == 0
