@@ -83,7 +83,7 @@ def _render_kernel(num_classes, tile_h, width, out_width, grid_hbm, colors_ref, 
 def render_bev_map_fused(
     grid: Array,
     label_colors: np.ndarray,
-    tile_h: int = 64,
+    tile_h: int = 0,
     interpret: bool = False,
 ) -> Array:
     """Smooth + argmax-render the grid in one fused pass.
@@ -99,6 +99,14 @@ def render_bev_map_fused(
     """
     num_classes, h, w = grid.shape
     assert num_classes == len(label_colors)
+
+    if tile_h <= 0:
+        # size the row tile to the ~16MB VMEM budget: the halo scratch is
+        # C*(T+8)*(W+130) f32 plus a handful of (T, W) working buffers
+        budget = 8 * 1024 * 1024 / 4  # floats
+        per_row = num_classes * (w + 130) + 8 * w
+        tile_h = int(budget / per_row) - 8
+        tile_h = max(8, min(64, (tile_h // 8) * 8))
 
     # reflect-101 pad on the spatial dims (cv2 filter2D border)
     planar = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="reflect")  # (C, H+2, W+2)
