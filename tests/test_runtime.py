@@ -326,3 +326,27 @@ class TestDropObservability:
         bus.publish("/camera1/semantic", img, stamp=1.1, frame_id="camera1")
         assert node.dropped_frames == 2  # pose still missing
         assert node.fused_frames == 0
+
+    def test_fused_pipeline_undistort_flag(self, rng, tmp_path):
+        """Undistortion folds into the fused program when enabled."""
+        import jax.numpy as jnp
+        from vision_semantic_segmentation_tpu.models import build_model
+        from vision_semantic_segmentation_tpu.runtime.pipeline import FusedFramePipeline
+        from vision_semantic_segmentation_tpu.mapping import pad_points
+        from test_mapping import make_frame
+        import numpy as np
+
+        cfg = small_cfg(tmp_path)
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+        net_cfg.DATASET.NUM_CLASSES = 19
+        model, *_ = build_model(net_cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        pipeline = FusedFramePipeline(cfg, variables, engine=engine,
+                                      compute_dtype=jnp.float32, undistort=True)
+        pts, _, position, quaternion = make_frame(rng, cfg, n=400)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        raw = (rng.random((1440, 1920, 3)) * 255).astype(np.uint8)
+        grid, labels = pipeline.step(engine.init_grid(), raw, pcd, valid, position, quaternion)
+        assert np.asarray(grid).shape[0] == 5

@@ -51,9 +51,17 @@ class FusedFramePipeline:
         variables,
         engine: Optional[SemanticMappingEngine] = None,
         compute_dtype=jnp.bfloat16,
+        undistort: bool = False,
     ):
+        """``undistort=True`` folds the per-camera inverse-distortion remap
+        (ref node:85-87) into the fused program, using precomputed maps."""
         self.cfg = cfg
         self.engine = engine or SemanticMappingEngine(cfg)
+        self._undistort_maps = {}
+        if undistort:
+            for cam_name, cam in self.engine.cameras.items():
+                if cam.dist is not None and cam.im_size is not None:
+                    self._undistort_maps[cam_name] = jnp.asarray(cam.undistort_maps())
         self.model = build_model(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK, dtype=compute_dtype)[0]
         self.variables = jax.tree.map(jnp.asarray, variables)
         self.image_scale = float(cfg.VISION_SEM_SEG.IMAGE_SCALE)
@@ -76,6 +84,7 @@ class FusedFramePipeline:
         table = self.channel_table
         scale = self.image_scale
         full_hw = image_hw
+        undistort_map = self._undistort_maps.get(camera)
 
         @jax.jit
         def step(variables, grid, frame_u8, pcd, valid, position, quaternion):
@@ -85,6 +94,10 @@ class FusedFramePipeline:
             # ~100MB parameter trees.
             # segmentation (ref node:82-110, fused)
             x = frame_u8
+            if undistort_map is not None:
+                from ..ops.warp import undistort as undistort_op
+
+                x = undistort_op(x, undistort_map)
             if scale < 1.0:
                 x = resize_area(x, (int(full_hw[0] * scale), int(full_hw[1] * scale)))
             xf = x.astype(jnp.float32) / 255.0
