@@ -84,3 +84,64 @@ def test_convert_cli(tmp_path):
 
     tree = load_npz(str(tmp_path / "w.npz"))
     assert tree["params"]["conv1"]["kernel"].shape == (3, 3, 3, 4)
+
+
+def test_pipeline_cli(tmp_path, rng):
+    """End-to-end CLI: both nodes over a recorded bag."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_mapping import make_frame
+    from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+    from vision_semantic_segmentation_tpu.runtime.io import FrameRecord, save_frames
+
+    cfg = get_cfg_defaults()
+    cfg.MAPPING.BOUNDARY = [[100, 140], [800, 840]]
+    frames = []
+    for i in range(2):
+        pts, _, position, quaternion = make_frame(rng, cfg, n=300)
+        raw = (rng.random((720, 960, 3)) * 255).astype(np.uint8)
+        frames.append(FrameRecord(pcd=pts, pcd_frame_id="world", semantic_image=raw,
+                                  position=position, quaternion=quaternion,
+                                  camera="camera1", stamp=float(i)))
+    bag = str(tmp_path / "bag.npz")
+    save_frames(frames, bag)
+
+    cfg_path = _write_cfg(
+        tmp_path,
+        extra=(
+            "TEST_END_TIME: 100\n"
+            "VISION_SEM_SEG:\n"
+            "  SEM_SEG_NETWORK:\n"
+            "    MODEL:\n"
+            "      TYPE: Dummy\n"
+        ),
+    )
+    # Dummy model has no weights on disk; monkeypatch the predictor builder
+    import vision_semantic_segmentation_tpu.runtime.node as node_mod
+    import jax
+    import jax.numpy as jnp
+    from vision_semantic_segmentation_tpu.models import build_model
+
+    orig = node_mod.SegmentationNode.__init__
+
+    def patched(self, cfg, bus, predictor=None, cameras=("camera1",), publish_hulls=False):
+        if predictor is None:
+            net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+            model, *_ = build_model(net_cfg)
+            variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+            from vision_semantic_segmentation_tpu.inference.predictor import SemanticSegmentation
+
+            predictor = SemanticSegmentation(net_cfg, variables=variables, compute_dtype="float32")
+        orig(self, cfg, bus, predictor=predictor, cameras=cameras, publish_hulls=publish_hulls)
+
+    node_mod.SegmentationNode.__init__ = patched
+    try:
+        cli_main(["pipeline", "--cfg", cfg_path, "--bag", bag])
+    finally:
+        node_mod.SegmentationNode.__init__ = orig
+
+    found = []
+    for root, _, files in os.walk(tmp_path / "out"):
+        found += [f for f in files if f == "global_map.png"]
+    assert found, "pipeline CLI produced no global map"
