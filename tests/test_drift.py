@@ -16,7 +16,12 @@ from vision_semantic_segmentation_tpu.mapping.renderer import log_odds_to_probab
 from test_mapping import golden_frame, make_frame, small_cfg
 
 
-def test_probability_drift_budget(rng):
+def test_probability_drift_budget():
+    # local deterministic rng: the shared session fixture's consumption
+    # order varies with which tests run, and a point projecting within
+    # float32-epsilon of a pixel boundary flips a whole observation (input
+    # sensitivity, not accumulation drift — what this test measures)
+    rng = np.random.default_rng(1234)
     cfg = small_cfg()
     # log-probability evidence like the production confusion-matrix setup
     raw = rng.random((19, 19)) + np.eye(19) * 5

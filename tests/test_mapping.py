@@ -427,3 +427,46 @@ class TestPlanarGolden:
         agree = (grid > 0) == (golden > 0)
         assert agree.mean() > 0.99
         np.testing.assert_allclose(grid.sum(), golden.sum(), rtol=0.02)
+
+
+class TestWindowedUpdate:
+    @pytest.mark.parametrize("semantics", ["reference", "accumulate"])
+    def test_matches_dense(self, rng, semantics):
+        """Pose-centered window update == dense update when the window
+        covers every visible point."""
+        cfg = small_cfg()
+        pts, img, position, quaternion = make_frame(rng, cfg, n=2500)
+        pcd_pad, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+
+        dense_engine = SemanticMappingEngine(cfg, evidence=np.eye(5),
+                                             duplicate_semantics=semantics)
+        g_dense, _, _ = dense_engine.step(
+            dense_engine.init_grid(), pcd_pad, valid, img, position, quaternion
+        )
+
+        cfg_w = small_cfg()
+        cfg_w.MAPPING.UPDATE_WINDOW = 200  # < 400-cell grid; points span 40m/0.1m... 
+        # points span the full 40m region = 400 cells > 200 window, so use 
+        # a tighter fixture: regenerate points within 15m
+        x0 = 100 - PCD_ORIGIN_OFFSET[0]
+        y0 = 800 - PCD_ORIGIN_OFFSET[1]
+        res = cfg.MAPPING.RESOLUTION
+        snap = lambda v, lo: lo + (np.floor((v - lo) / res) + 0.5) * res
+        pts2 = np.vstack([
+            snap(rng.uniform(x0 + 10, x0 + 25, 2500), x0),
+            snap(rng.uniform(y0 + 12, y0 + 27, 2500), y0),
+            rng.uniform(-1, 0.5, 2500),
+            rng.uniform(0, 20, 2500),
+        ]).astype(np.float32)
+        pcd2, valid2 = pad_points(pts2, cfg.MAPPING.POINT_BUCKET)
+
+        g_dense, _, _ = dense_engine.step(
+            dense_engine.init_grid(), pcd2, valid2, img, position, quaternion
+        )
+        win_engine = SemanticMappingEngine(cfg_w, evidence=np.eye(5),
+                                           duplicate_semantics=semantics)
+        g_win, _, _ = win_engine.step(
+            win_engine.init_grid(), pcd2, valid2, img, position, quaternion
+        )
+        np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_dense), atol=1e-5)
+        assert float(np.asarray(g_dense).sum()) > 0

@@ -51,6 +51,10 @@ _C.MAPPING.POINT_BUCKET = 2 ** 17
 # Number of mesh shards along the BEV grid row axis (context-parallel
 # analogue, SURVEY.md section 5 "long-context").  1 = unsharded.
 _C.MAPPING.GRID_SHARDS = 1
+# Per-frame update window in cells (0 = dense over the whole grid).  For
+# very large grids a pose-centered window makes the update cost
+# independent of grid size; size it >= ~2.2 * PCD.RANGE_MAX / RESOLUTION.
+_C.MAPPING.UPDATE_WINDOW = 0
 
 _C.VISION_SEM_SEG = CN()
 _C.VISION_SEM_SEG.IMAGE_SCALE = 1.0

@@ -43,6 +43,17 @@ from ..ops.scatter import masked_scatter_add_channel, masked_scatter_add_rows
 
 Array = jnp.ndarray
 
+
+def getattr_cfg(cfg, dotted: str, default):
+    """Fetch a dotted config key, tolerating older configs without it."""
+    node = cfg
+    for part in dotted.split("."):
+        if part not in node:
+            return default
+        node = node[part]
+    return node
+
+
 # Fixed global map origin: min x/y of the point-cloud map, so all grid
 # coordinates are positive (ref mapping.py:228-236, 404)
 PCD_ORIGIN_OFFSET = np.array([1369.0496826171875, 562.84814453125, 0.0])
@@ -133,6 +144,10 @@ class SemanticMappingEngine:
         assert duplicate_semantics in ("reference", "accumulate")
         self.duplicate_semantics = duplicate_semantics
         self.cfg = cfg
+        # 0 = dense update over the whole grid; > 0 = pose-centered window
+        # of that many cells (see _build_update). Points outside the window
+        # are dropped, so size it >= ~2.2 * RANGE_MAX / RESOLUTION.
+        self.update_window = int(getattr_cfg(cfg, "MAPPING.UPDATE_WINDOW", 0))
         self.grid_spec = GridSpec.from_cfg(cfg)
         self.label_names = list(cfg.LABELS_NAMES)
         self.label_colors = np.array(cfg.LABEL_COLORS, dtype=np.uint8)
@@ -279,7 +294,6 @@ class SemanticMappingEngine:
         dedupe = self.duplicate_semantics == "reference"
 
         num_cls = self_evidence.shape[0]
-        sentinel = h * w * num_cls
 
         def _segmented_sum(flags_first, values):
             """Inclusive segmented cumsum over sorted keys (associative)."""
@@ -292,16 +306,46 @@ class SemanticMappingEngine:
             _, summed = jax.lax.associative_scan(combine, (flags_first, values))
             return summed
 
-        def apply_update(grid, cell, cls, intensity, upd):
+        # Windowed mode: a frame's visible points span at most ~2x the LiDAR
+        # range, so for big grids (the 5000x7000 full route) the update
+        # operates on a pose-centered (C, win, win) slab via dynamic slices
+        # instead of densifying observations over all H*W cells — making the
+        # per-frame cost independent of the global grid size.
+        win = int(self.update_window) if self.update_window else 0
+        windowed = 0 < win < max(h, w)
+
+        def _window_update(grid, cell, cls, intensity, upd):
+            row = cell // w
+            col = cell % w
+            n_upd = jnp.maximum(jnp.sum(upd), 1)
+            # center the window on the mean updated cell (robust for both
+            # the world-frame and ego-frame point modes)
+            r_mean = jnp.sum(jnp.where(upd, row, 0)) // n_upd
+            c_mean = jnp.sum(jnp.where(upd, col, 0)) // n_upd
+            r0 = jnp.clip(r_mean - win // 2, 0, max(h - win, 0))
+            c0 = jnp.clip(c_mean - win // 2, 0, max(w - win, 0))
+
+            lr = row - r0
+            lc = col - c0
+            in_win = (lr >= 0) & (lr < win) & (lc >= 0) & (lc < win)
+            upd_w = upd & in_win
+            local_cell = lr * win + lc
+
+            slab = jax.lax.dynamic_slice(grid, (0, r0, c0), (num_cls, win, win))
+            slab = _dense_update(slab, local_cell, cls, intensity, upd_w, win, win)
+            return jax.lax.dynamic_update_slice(grid, slab, (0, r0, c0))
+
+        def _dense_update(grid, cell, cls, intensity, upd, gh, gw):
             # --- TPU-fast Bayesian update (ref :414-424) -------------------
             # XLA lowers a scatter with potentially-duplicate indices to a
             # *serialized* update loop on TPU (measured ~25 ms for a 2^17
             # bucket).  Instead: sort the (cell, class) keys once (bitonic
             # sorts are parallel and cheap), reduce duplicates with a
             # segmented scan, then scatter per-key totals at *unique*
-            # indices (vectorizable) into a dense (H*W, C) observation
+            # indices (vectorizable) into a dense (C, gh*gw) observation
             # buffer, and fold evidence in with ONE MXU matmul:
-            #     grid += observations @ evidence^T
+            #     grid += evidence @ observations
+            sentinel = gh * gw * num_cls
             key = jnp.where(upd, cell * num_cls + jnp.clip(cls, 0), sentinel)
             order = jnp.argsort(key)
             ksort = key[order]
@@ -322,23 +366,23 @@ class SemanticMappingEngine:
 
             n = ksort.shape[0]
             arange_n = jnp.arange(n)
-            # unique scatter targets in the planar (C, H*W) layout: the
-            # (cell, class) key maps to class * HW + cell; disjoint
+            # unique scatter targets in the planar (C, gh*gw) layout: the
+            # (cell, class) key maps to class * gh*gw + cell; disjoint
             # out-of-range slots elsewhere (dropped) -> unique_indices holds
             cls_s = ksort % num_cls
             cell_s = ksort // num_cls
-            obs_idx = jnp.where(is_last & kvalid, cls_s * (h * w) + cell_s,
+            obs_idx = jnp.where(is_last & kvalid, cls_s * (gh * gw) + cell_s,
                                 sentinel + arange_n)
-            observations = jnp.zeros((num_cls * h * w,), grid.dtype)
+            observations = jnp.zeros((num_cls * gh * gw,), grid.dtype)
             observations = observations.at[obs_idx].add(
                 obs_at_last, mode="drop", unique_indices=True
             )
             delta = jnp.matmul(
                 jnp.asarray(self_evidence),  # (C_chan, C_obs)
-                observations.reshape(num_cls, h * w),
+                observations.reshape(num_cls, gh * gw),
                 precision=jax.lax.Precision.HIGHEST,
             )
-            grid = grid + delta.reshape(num_cls, h, w)
+            grid = grid + delta.reshape(num_cls, gh, gw)
 
             # --- LiDAR intensity lane boost (ref :427-437) -----------------
             # Retro-reflective returns (paint) have extreme intensities; +2
@@ -352,16 +396,20 @@ class SemanticMappingEngine:
                     # any boost point in the (cell, lane) segment -> +2 once
                     bstat = jnp.minimum(bstat, 1.0)
                 lane_seg = kvalid & ((ksort % num_cls) == lane)
-                bidx = jnp.where(is_last & lane_seg, ksort // num_cls, h * w + arange_n)
-                boost_buf = jnp.zeros((h * w,), grid.dtype)
+                bidx = jnp.where(is_last & lane_seg, ksort // num_cls, gh * gw + arange_n)
+                boost_buf = jnp.zeros((gh * gw,), grid.dtype)
                 boost_buf = boost_buf.at[bidx].add(
                     2.0 * bstat, mode="drop", unique_indices=True
                 )
-                grid = grid.at[lane].add(boost_buf.reshape(h, w))
+                grid = grid.at[lane].add(boost_buf.reshape(gh, gw))
 
             return grid
 
-        return apply_update
+        if windowed:
+            return _window_update
+        return lambda grid, cell, cls, intensity, upd: _dense_update(
+            grid, cell, cls, intensity, upd, h, w
+        )
 
     def _build_step(self, camera_id: str, pcd_in_velodyne_frame: bool):
         pointwise = self._build_pointwise(camera_id, pcd_in_velodyne_frame)
