@@ -415,7 +415,10 @@ class SemanticMappingEngine:
         pointwise = self._build_pointwise(camera_id, pcd_in_velodyne_frame)
         apply_update = self._build_update()
 
-        @jax.jit
+        # donate the grid so XLA updates it in place — without donation a
+        # windowed dynamic_update_slice copies the whole (700MB full-route)
+        # grid every frame
+        @partial(jax.jit, donate_argnums=(0,))
         def step(grid, pcd, valid, image, position, quaternion):
             cell, cls, vis, upd, _ = pointwise(
                 pcd, valid, image, position, quaternion
@@ -438,7 +441,7 @@ class SemanticMappingEngine:
             self._step_fns[key] = self._build_step(*key)
         step = self._step_fns[key]
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def run(grid, frames):
             def body(g, f):
                 g, _, _ = step(

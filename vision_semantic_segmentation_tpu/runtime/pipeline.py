@@ -21,6 +21,7 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from functools import partial
 
 from ..inference.predictor import IMAGENET_MEAN, IMAGENET_STD
 from ..mapping.engine import SemanticMappingEngine
@@ -86,7 +87,7 @@ class FusedFramePipeline:
         full_hw = image_hw
         undistort_map = self._undistort_maps.get(camera)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(1,))
         def step(variables, grid, frame_u8, pcd, valid, position, quaternion):
             # NOTE: model variables are explicit arguments, not closure
             # captures — closed-over arrays become executable-embedded
@@ -156,7 +157,7 @@ class FusedFramePipeline:
         step = self._build(camera, image_hw, pcd_frame_id == "velodyne")
         self_variables = self.variables
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(1,))
         def run_impl(variables, grid, frames):
             def body(g, frame):
                 # nested jit inlines under the outer trace
