@@ -124,3 +124,96 @@ class TestShardedGrid:
         # planar (C, H, W): row axis (dim 1) split over 8 devices
         assert grid.sharding.spec == jax.sharding.PartitionSpec(None, "grid")
         assert grid.shape[1] % 8 == 0
+
+
+class TestPerDeviceBN:
+    def _setup(self, rng, devices):
+        from vision_semantic_segmentation_tpu.parallel import make_per_device_bn_train_step
+        import flax.linen as nn
+
+        class BNNet(nn.Module):
+            """Tiny conv+BN model exposing BN stats."""
+
+            @nn.compact
+            def __call__(self, x, train=False, upsample_pred=True):
+                x = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)))(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name="bn")(x)
+                x = nn.relu(x)
+                return nn.Conv(3, (1, 1))(x)
+
+        model = BNNet()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        tx = optax.sgd(0.05)
+        mesh = create_mesh(axis_names=("data",), devices=devices)
+        state = TrainState.create(model, variables, tx, jax.random.PRNGKey(1))
+        step_pd = make_per_device_bn_train_step(num_classes=3, mesh=mesh)
+        return model, state, mesh, step_pd
+
+    def test_runs_and_params_replicated(self, rng, devices):
+        model, state, mesh, step_pd = self._setup(rng, devices)
+        batch = shard_batch(mesh, {
+            "image": rng.standard_normal((8, 8, 8, 3)).astype(np.float32),
+            "label": rng.integers(0, 3, (8, 8, 8)).astype(np.int32),
+        })
+        state2, metrics = step_pd(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state2.step) == 1
+        # params identical across devices (replicated pmean'd grads)
+        leaf = jax.tree.leaves(state2.params)[0]
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    def test_bn_stats_differ_from_sync_on_heterogeneous_batches(self, rng, devices):
+        from vision_semantic_segmentation_tpu.parallel import (
+            jit_train_step,
+            make_train_step,
+        )
+
+        model, state, mesh, step_pd = self._setup(rng, devices)
+        # shard 0..7 get wildly different statistics
+        image = np.concatenate([
+            rng.standard_normal((1, 8, 8, 3)).astype(np.float32) * (i + 1) + i
+            for i in range(8)
+        ])
+        batch = shard_batch(mesh, {
+            "image": image,
+            "label": rng.integers(0, 3, (8, 8, 8)).astype(np.int32),
+        })
+
+        state_pd, _ = step_pd(state, batch)
+        step_sync = jit_train_step(make_train_step(num_classes=3), mesh)
+        state_sync, _ = step_sync(state, batch)
+
+        var_pd = np.asarray(state_pd.batch_stats["bn"]["var"])
+        var_sync = np.asarray(state_sync.batch_stats["bn"]["var"])
+        # per-device normalization averages per-shard variances; sync uses
+        # the global-batch variance (strictly larger with shifted means)
+        assert not np.allclose(var_pd, var_sync, rtol=1e-3)
+        assert (var_sync >= var_pd - 1e-5).all()
+
+    def test_equals_sync_on_identical_shards(self, rng, devices):
+        from vision_semantic_segmentation_tpu.parallel import (
+            jit_train_step,
+            make_train_step,
+        )
+
+        model, state, mesh, step_pd = self._setup(rng, devices)
+        one = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+        lab = rng.integers(0, 3, (1, 8, 8)).astype(np.int32)
+        batch = shard_batch(mesh, {
+            "image": np.repeat(one, 8, axis=0),
+            "label": np.repeat(lab, 8, axis=0),
+        })
+        state_pd, m_pd = step_pd(state, batch)
+        step_sync = jit_train_step(make_train_step(num_classes=3), mesh)
+        state_sync, m_sync = step_sync(state, batch)
+        # identical shards -> local stats == global stats -> same update
+        np.testing.assert_allclose(
+            np.asarray(state_pd.batch_stats["bn"]["mean"]),
+            np.asarray(state_sync.batch_stats["bn"]["mean"]), atol=1e-5,
+        )
+        assert float(m_pd["loss"]) == pytest.approx(float(m_sync["loss"]), rel=1e-5)
+        # ... and the parameter update matches too (guards against the
+        # implicit-psum double count of shard_map cotangents)
+        for a, b in zip(jax.tree.leaves(state_pd.params), jax.tree.leaves(state_sync.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -10,6 +10,7 @@ from .train_step import (
     jit_eval_step,
     jit_train_step,
     make_eval_step,
+    make_per_device_bn_train_step,
     make_train_step,
 )
 from .grid_shard import gather_grid, init_sharded_grid, make_sharded_step
@@ -24,6 +25,7 @@ __all__ = [
     "jit_eval_step",
     "jit_train_step",
     "make_eval_step",
+    "make_per_device_bn_train_step",
     "make_train_step",
     "gather_grid",
     "init_sharded_grid",

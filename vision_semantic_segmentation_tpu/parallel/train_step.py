@@ -124,6 +124,85 @@ def make_train_step(
     return train_step
 
 
+def make_per_device_bn_train_step(
+    num_classes: int,
+    mesh: Mesh,
+    axis: str = "data",
+    ignore_index: int = 255,
+    max_grad_norm: float = 0.0,
+):
+    """Data-parallel train step with PER-DEVICE BatchNorm statistics.
+
+    The reference's default (MODEL.SYNC_BN=False, ref models/build.py:69-70)
+    normalizes each DDP replica with its local batch statistics.  Under
+    plain jit-SPMD, BN sees the global batch (sync semantics), so this
+    variant runs the forward/backward inside ``shard_map``: every device
+    normalizes with its own shard's statistics, gradients/loss/metrics are
+    psum'd exactly like DDP's all-reduce, and the stored running stats are
+    the cross-device mean (deterministic, vs DDP's save-rank-0).
+
+    Already jitted + sharded; call as ``step(state, sharded_batch)``.
+    """
+    from jax import shard_map
+
+    def _shard_body(state: TrainState, batch: Dict[str, Array]):
+        rng, base_dropout = jax.random.split(state.rng)
+        # distinct dropout mask per device, like independent DDP workers
+        dropout_rng = jax.random.fold_in(base_dropout, jax.lax.axis_index(axis))
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=True,
+                upsample_pred=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            local = cross_entropy_loss(logits, batch["label"], ignore_index=ignore_index)
+            # pmean INSIDE the differentiated function: its transpose makes
+            # the gradients the exact cross-replica mean regardless of
+            # shard_map's implicit-psum semantics for replicated inputs
+            # (jax >= 0.8 auto-psums cotangents of unvarying inputs, so a
+            # manual pmean-after-grad would double-count by axis_size)
+            loss = jax.lax.pmean(local, axis)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, local_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        # DDP equivalences: metric sum, running-stat mean
+        confusion = jax.lax.psum(
+            confusion_matrix_update(logits, batch["label"], num_classes), axis
+        )
+        new_stats = jax.lax.pmean(local_stats, axis)
+
+        if max_grad_norm > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, max_grad_norm / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+            rng=rng,
+        )
+        return new_state, {"loss": loss, "confusion": confusion}
+
+    sharded = shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
+
+
 def make_eval_step(num_classes: int, ignore_index: int = 255):
     """Validation step: forward + loss + confusion matrix, no updates."""
 

@@ -27,6 +27,7 @@ from ..parallel.train_step import (
     jit_eval_step,
     jit_train_step,
     make_eval_step,
+    make_per_device_bn_train_step,
     make_train_step,
 )
 from ..utils.seed import set_random_seed
@@ -81,17 +82,27 @@ class Trainer:
         self.schedule = schedule
         self.state = TrainState.create(self.model, variables, tx, state_rng)
 
-        # jitted steps over the mesh
+        # jitted steps over the mesh.  SYNC_BN picks the BN statistics
+        # scope: True = global logical batch (jit-SPMD natural semantics);
+        # False = per-device statistics via shard_map, the reference's DDP
+        # default (ref models/build.py:69-70).
         num_classes = cfg.DATASET.NUM_CLASSES
-        self._train_step = jit_train_step(
-            make_train_step(
+        if cfg.MODEL.SYNC_BN or self.mesh.devices.size == 1 or remat or cfg.TRAIN.FREEZE_BATCHNORM:
+            self._train_step = jit_train_step(
+                make_train_step(
+                    num_classes,
+                    max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
+                    freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
+                    remat=remat,
+                ),
+                self.mesh,
+            )
+        else:
+            self._train_step = make_per_device_bn_train_step(
                 num_classes,
+                self.mesh,
                 max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
-                freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
-                remat=remat,
-            ),
-            self.mesh,
-        )
+            )
         self._eval_step = jit_eval_step(make_eval_step(num_classes), self.mesh)
 
         # checkpointing (ref train.py:188-195)
