@@ -145,3 +145,47 @@ def test_pipeline_cli(tmp_path, rng):
     for root, _, files in os.walk(tmp_path / "out"):
         found += [f for f in files if f == "global_map.png"]
     assert found, "pipeline CLI produced no global map"
+
+
+def test_train_cli(tmp_path, rng, monkeypatch):
+    """Train CLI end-to-end with a Dummy model and a synthetic dataset."""
+    from PIL import Image
+
+    # minimal Pascal-style dataset layout
+    root = tmp_path / "voc"
+    (root / "ImageSets/Segmentation").mkdir(parents=True)
+    (root / "JPEGImages").mkdir()
+    (root / "SegmentationClass").mkdir()
+    ids = [f"im{i}" for i in range(4)]
+    (root / "ImageSets/Segmentation/train.txt").write_text("\n".join(ids) + "\n")
+    for i in ids:
+        Image.fromarray((rng.random((16, 16, 3)) * 255).astype(np.uint8)).save(
+            root / "JPEGImages" / f"{i}.jpg"
+        )
+        Image.fromarray(rng.integers(0, 3, (16, 16)).astype(np.uint8)).save(
+            root / "SegmentationClass" / f"{i}.png"
+        )
+
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(
+        f"""
+MODEL:
+  TYPE: Dummy
+DATASET:
+  NAME: Pascal
+  NUM_CLASSES: 3
+  IN_CHANNELS: 3
+  ROOT_DIR: '{root}'
+OPTIMIZER:
+  TYPE: SGD
+  BASE_LR: 0.05
+SCHEDULER:
+  MAX_EPOCH: 1
+TRAIN:
+  BATCH_SIZE: 2
+  AUGMENTATION: [[Resize, [16, 16]], ToTensor]
+OUTPUT_DIR: '{tmp_path}/train_out'
+"""
+    )
+    cli_main(["train", "--cfg", str(cfg_path)])
+    assert (tmp_path / "train_out" / "last_checkpoint").exists()

@@ -3,8 +3,9 @@
 ``build_model(cfg)`` returns ``(model, loss_fn, train_metric, val_metric)``
 like the reference.  SYNC_BN needs no module surgery here: BatchNorm inside
 a pjit'ed step computes statistics over the *global* logical batch, which
-is SyncBatchNorm semantics by construction (see parallel/train_step.py for
-the per-device fallback when SYNC_BN=False).
+is SyncBatchNorm semantics by construction; SYNC_BN=False (the reference's
+DDP default) selects the shard_map per-device-statistics train step
+(parallel/train_step.py::make_per_device_bn_train_step) in the Trainer.
 """
 from __future__ import annotations
 

@@ -60,7 +60,20 @@ class Trainer:
         self.cfg = cfg
         self.output_dir = output_dir
         self.logger = logger
-        self.mesh = mesh if mesh is not None else create_mesh(axis_names=("data",))
+        if mesh is None:
+            n_dev = len(jax.devices())
+            if cfg.TRAIN.BATCH_SIZE % max(n_dev, 1) != 0:
+                # batch must split evenly over the data axis; shrink the
+                # mesh to the largest divisor of the batch size
+                n_use = 1
+                for d in range(min(n_dev, cfg.TRAIN.BATCH_SIZE), 0, -1):
+                    if cfg.TRAIN.BATCH_SIZE % d == 0:
+                        n_use = d
+                        break
+                mesh = create_mesh(axis_names=("data",), devices=jax.devices()[:n_use])
+            else:
+                mesh = create_mesh(axis_names=("data",))
+        self.mesh = mesh
 
         rng = set_random_seed(cfg.RNG_SEED) or jax.random.PRNGKey(0)
 
