@@ -18,7 +18,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import BlockDiagGroupedConv, kaiming_normal_out
+from .layers import BlockDiagGroupedConv, GroupedConvEinsum, kaiming_normal_out
 
 Array = jnp.ndarray
 
@@ -84,8 +84,11 @@ class Bottleneck(nn.Module):
         out = nn.BatchNorm(name="bn1", **bn_kw)(out)
         out = nn.relu(out)
         if self.groups > 1:
-            # block-diagonal dense grouped conv: identical numerics, ~11x
-            # faster than XLA's grouped lowering on TPU (see layers.py)
+            # block-diagonal dense grouped conv: identical numerics, ~6x
+            # faster than XLA's grouped lowering on TPU.  (The nominal-FLOP
+            # per-group einsum variant, layers.GroupedConvEinsum, measured
+            # 1.5x SLOWER than block-diag despite 32x fewer FLOPs — the
+            # 9-tap patch materialization traffic dominates.)
             out = BlockDiagGroupedConv(
                 features=width, kernel_size=(3, 3), groups=self.groups,
                 strides=(self.stride, self.stride),
