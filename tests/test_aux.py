@@ -298,3 +298,72 @@ class TestNativePointCloudDecode:
         out = decode_pointcloud2(raw.tobytes(), n, 12, [0, 4], [7, 4])
         np.testing.assert_allclose(out[0], f[:, 0], atol=1e-6)
         np.testing.assert_allclose(out[1], u16[:, 0].astype(np.float32))
+
+
+class TestTensorboardAndViz:
+    def test_add_scalars(self):
+        from vision_semantic_segmentation_tpu.train.meters import MeterLogger
+        from vision_semantic_segmentation_tpu.train.tensorboard_util import add_scalars
+
+        class FakeWriter:
+            def __init__(self):
+                self.scalars = {}
+
+            def add_scalar(self, tag, value, step):
+                self.scalars[tag] = (value, step)
+
+        ml = MeterLogger()
+        ml.update(loss=2.0, acc=0.5)
+        w = FakeWriter()
+        add_scalars(w, ml, "train", 7)
+        assert w.scalars["train/loss"] == (2.0, 7)
+        assert w.scalars["train/acc"] == (0.5, 7)
+
+    def test_log_network_outputs(self, rng):
+        from vision_semantic_segmentation_tpu.train.datasets.visualization import (
+            log_network_outputs,
+        )
+
+        class FakeWriter:
+            def __init__(self):
+                self.images = {}
+
+            def add_image(self, tag, img, step, dataformats="HWC"):
+                self.images[tag] = img
+
+        w = FakeWriter()
+        log_network_outputs(
+            w, "val",
+            rng.standard_normal((2, 8, 8, 3)).astype(np.float32),
+            rng.integers(0, 19, (2, 8, 8)),
+            rng.integers(0, 19, (2, 8, 8)),
+            global_step=1,
+        )
+        assert set(w.images) == {"val/image", "val/prediction", "val/label"}
+        assert w.images["val/image"].dtype == np.uint8
+
+    def test_compare_maps(self, tmp_path, rng):
+        import cv2
+
+        from vision_semantic_segmentation_tpu.evaluation.compare import compare_maps
+        from vision_semantic_segmentation_tpu.mapping import LABEL_COLORS
+
+        gt = tmp_path / "gt"
+        gt.mkdir()
+        road = np.zeros((40, 40, 3), np.uint8)
+        road[:20] = 255
+        cv2.imwrite(str(gt / "bev-5cm-road.jpg"), road)
+        cv2.imwrite(str(gt / "bev-5cm-lanes.jpg"), np.zeros_like(road))
+        cv2.imwrite(str(gt / "bev-5cm-crosswalks.jpg"), np.zeros_like(road))
+        cv2.imwrite(str(gt / "bev-5cm-mask.jpg"), np.full_like(road, 255))
+
+        pred = np.zeros((10, 10, 3), np.uint8)
+        pred[:5] = LABEL_COLORS[0][::-1]
+        pred_path = str(tmp_path / "pred.png")
+        cv2.imwrite(pred_path, pred)
+        out = str(tmp_path / "panel.png")
+        fig = compare_maps(pred_path, str(gt), save_path=out)
+        assert fig is not None
+        import os.path as osp
+
+        assert osp.exists(out)
