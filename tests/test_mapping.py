@@ -105,11 +105,13 @@ def make_frame(rng, cfg, n=3000):
             rng.uniform(0, 20, n),
         ]
     ).astype(np.float32)
-    # semantic image: patches of the 5 palette colors + background
+    # semantic image: patches of the palette colors + background
     img = np.zeros((1440, 1920, 3), dtype=np.uint8)
     colors = np.array(cfg.LABEL_COLORS, dtype=np.uint8)
-    for i in range(5):
-        img[:, i * 380 : (i + 1) * 380] = colors[i]
+    n_colors = len(colors)
+    stripe = 1900 // n_colors
+    for i in range(n_colors):
+        img[:, i * stripe : (i + 1) * stripe] = colors[i]
     img[:100, :] = 17  # some non-palette color
     return pts, img, position, quaternion
 
@@ -470,3 +472,43 @@ class TestWindowedUpdate:
         )
         np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_dense), atol=1e-5)
         assert float(np.asarray(g_dense).sum()) > 0
+
+
+class TestEngineEdgeCases:
+    def test_empty_cloud(self, rng):
+        """All-invalid point buckets leave the grid untouched."""
+        cfg = small_cfg()
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        _, img, position, quaternion = make_frame(rng, cfg, n=10)
+        pcd = np.zeros((4, cfg.MAPPING.POINT_BUCKET), np.float32)
+        valid = np.zeros(cfg.MAPPING.POINT_BUCKET, bool)
+        grid, cls, vis = engine.step(engine.init_grid(), pcd, valid, img,
+                                     position, quaternion)
+        assert float(np.abs(np.asarray(grid)).sum()) == 0.0
+        assert not np.asarray(vis).any()
+
+    def test_bucket_truncation(self, rng):
+        """Clouds larger than the bucket are truncated, not crashed."""
+        cfg = small_cfg()
+        pts, img, position, quaternion = make_frame(rng, cfg, n=6000)
+        pcd, valid = pad_points(pts, 4096)
+        assert pcd.shape == (4, 4096)
+        assert valid.all()
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        grid, _, _ = engine.step(engine.init_grid(), pcd, valid, img,
+                                 position, quaternion)
+        assert float(np.asarray(grid).sum()) > 0
+
+    def test_no_lane_in_labels(self, rng):
+        """Configs without a 'lane' class skip the intensity boost."""
+        cfg = small_cfg()
+        cfg.LABELS = [2, 1, 10]
+        cfg.LABELS_NAMES = ["road", "crosswalk", "vegetation"]
+        cfg.LABEL_COLORS = [[128, 64, 128], [140, 140, 200], [107, 142, 35]]
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(3))
+        assert engine.lane_channel == -1
+        pts, img, position, quaternion = make_frame(rng, cfg, n=500)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        grid, _, _ = engine.step(engine.init_grid(), pcd, valid, img,
+                                 position, quaternion)
+        assert np.asarray(grid).shape[0] == 3
