@@ -39,3 +39,52 @@ class TestFusedRender:
         packed = jnp.asarray([[0xFF336699]], dtype=jnp.uint32)
         rgb = np.asarray(unpack_rgba_image(packed))
         np.testing.assert_array_equal(rgb[0, 0], [0x99, 0x66, 0x33])
+
+
+class TestDepthwiseDilated:
+    """Pallas dilated depthwise conv vs the shifted-multiply formulation."""
+
+    @pytest.mark.parametrize("dilation", [1, 3, 6])
+    def test_matches_shifted_formulation(self, dilation):
+        import jax
+        from vision_semantic_segmentation_tpu.ops.pallas import depthwise3x3_dilated
+
+        rng = np.random.default_rng(7 + dilation)
+        h, w, c = 12, 16, 128
+        x = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 1, c)), jnp.float32)
+
+        got = depthwise3x3_dilated(x, k, dilation, interpret=True)
+
+        d = dilation
+        ref = jax.lax.conv_general_dilated(
+            x,
+            k.reshape(3, 3, 1, c),
+            window_strides=(1, 1),
+            padding=((d, d), (d, d)),
+            rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_module_pallas_flag_matches_shifted(self):
+        """ShiftedDepthwiseConv(use_pallas=True) == use_pallas=False."""
+        import jax
+        from vision_semantic_segmentation_tpu.models.layers import ShiftedDepthwiseConv
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((1, 10, 12, 128)), jnp.float32)
+        d = 2
+        kwargs = dict(
+            features=128, kernel_size=(3, 3), strides=(1, 1),
+            padding=((d, d), (d, d)), dilation=(d, d), use_bias=True,
+        )
+        mod_ref = ShiftedDepthwiseConv(use_pallas=False, **kwargs)
+        mod_pal = ShiftedDepthwiseConv(use_pallas=True, **kwargs)
+        variables = mod_ref.init(jax.random.PRNGKey(0), x)
+        out_ref = mod_ref.apply(variables, x)
+        out_pal = mod_pal.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(out_pal), np.asarray(out_ref), atol=1e-5
+        )

@@ -108,6 +108,11 @@ class ShiftedDepthwiseConv(nn.Module):
     tap is an elementwise multiply-add over the shifted input — a shape
     XLA fuses into a single vectorized pass instead of its slow grouped
     lowering.
+
+    ``use_pallas=True`` opts the 3x3 stride-1 pad==dilation case (ASPP's
+    atrous branches) into the halo-DMA Pallas kernel
+    (ops/pallas/depthwise.py).  OFF by default: measured slower than the
+    shifted form on v5e (see that module's docstring for numbers).
     """
 
     features: int
@@ -118,6 +123,24 @@ class ShiftedDepthwiseConv(nn.Module):
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
     kernel_init: nn.initializers.Initializer = None
+    use_pallas: bool = False
+
+    def _pallas_applicable(self, x: Array, dtype) -> bool:
+        from ..ops.pallas import depthwise as pdw
+
+        kh, kw = self.kernel_size
+        dh, dw = self.dilation
+        d = dh
+        return (
+            (kh, kw) == (3, 3)
+            and self.strides == (1, 1)
+            and dh == dw
+            and self.padding == ((d, d), (d, d))
+            and x.shape[0] == 1
+            and pdw.supports(
+                x.shape[1], x.shape[2], x.shape[3], d, jnp.dtype(dtype).itemsize
+            )
+        )
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -131,6 +154,18 @@ class ShiftedDepthwiseConv(nn.Module):
         )
 
         dtype = self.dtype or x.dtype
+
+        if self.use_pallas and self._pallas_applicable(x, dtype):
+            from ..ops.pallas.depthwise import depthwise3x3_dilated
+
+            acc = depthwise3x3_dilated(
+                x.astype(dtype), kernel, self.dilation[0],
+                interpret=jax.default_backend() == "cpu",
+            )
+            if bias is not None:
+                acc = acc + bias.astype(dtype)
+            return acc
+
         xc = x.astype(dtype)
         kc = kernel.astype(dtype)
         (ph0, ph1), (pw0, pw1) = self.padding
