@@ -227,3 +227,30 @@ class TestHomography:
         pts = np.array([[10.0, 10], [70, 12], [68, 50], [12, 48]])
         out = generate_homography(img, pts, pts, out_size=[80, 60])
         np.testing.assert_allclose(np.asarray(out)[5:-5, 5:-5], img[5:-5, 5:-5], atol=1)
+
+
+class TestClipPcdByDistancePlane:
+    """ref utils.py:35-53 via geometry.plane.clip_pcd_by_distance_plane."""
+
+    def test_split_matches_signed_distance(self):
+        import numpy as np
+        from vision_semantic_segmentation_tpu.geometry import (
+            clip_pcd_by_distance_plane,
+        )
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(scale=5.0, size=(200, 4))  # xyz + intensity
+        # plane y = 0 (spanned by x and z axes through the origin);
+        # signed distance is the y coordinate up to normal orientation
+        close, far = clip_pcd_by_distance_plane(
+            pts, [1, 0, 0], [0, 0, 1], [0, 0, 0], (3.0, -1.0)
+        )
+        assert close.shape[0] + far.shape[0] == 200
+        y = np.asarray(close)[:, 1]
+        sign = 1.0 if ((np.abs(y) < 3.0).all()) else -1.0
+        d = sign * y
+        assert ((d < 3.0) & (d > -1.0)).all()
+        yf = sign * np.asarray(far)[:, 1]
+        assert ((yf >= 3.0) | (yf <= -1.0)).all()
+        # intensity column rides along
+        assert close.shape[1] == 4

@@ -512,3 +512,35 @@ class TestEngineEdgeCases:
         grid, _, _ = engine.step(engine.init_grid(), pcd, valid, img,
                                  position, quaternion)
         assert np.asarray(grid).shape[0] == 3
+
+
+class TestMapLayerImages:
+    """ref test/test_renderer.py:50-84 headless per-layer viewer."""
+
+    def test_probability_layers(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from vision_semantic_segmentation_tpu.mapping import (
+            log_odds_to_probability,
+            map_layer_images,
+        )
+
+        rng = np.random.default_rng(5)
+        grid = jnp.asarray(rng.normal(size=(6, 7, 5)).astype(np.float32))
+        imgs = map_layer_images(grid)
+        assert imgs.shape == (5, 6, 7) and imgs.dtype == jnp.uint8
+        probs = np.asarray(log_odds_to_probability(grid))
+        np.testing.assert_array_equal(
+            np.asarray(imgs),
+            np.clip(probs * 255.0, 0, 255).astype(np.uint8).transpose(2, 0, 1),
+        )
+
+    def test_minmax_layers(self):
+        import numpy as np
+        from vision_semantic_segmentation_tpu.mapping import map_layer_images
+
+        grid = np.zeros((4, 4, 3), np.float32)
+        grid[..., 1] = np.linspace(0, 1, 16).reshape(4, 4)
+        imgs = np.asarray(map_layer_images(grid, normalize=False))
+        assert imgs[1].max() == 255 and imgs[1].min() == 0
+        assert (imgs[0] == 0).all()  # constant layer -> all zeros

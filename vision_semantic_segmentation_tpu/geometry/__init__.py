@@ -14,7 +14,7 @@ from .transforms import (
     transform_points,
 )
 from .camera import Camera, camera_setup_1, camera_setup_6, get_camera
-from .plane import Plane3D, ground_plane
+from .plane import Plane3D, clip_pcd_by_distance_plane, ground_plane
 from .homography import find_homography, generate_homography, warp_perspective
 from .bounding_box import BoundingBox
 
@@ -37,6 +37,7 @@ __all__ = [
     "camera_setup_6",
     "get_camera",
     "Plane3D",
+    "clip_pcd_by_distance_plane",
     "ground_plane",
     "find_homography",
     "generate_homography",

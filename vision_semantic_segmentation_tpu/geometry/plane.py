@@ -110,3 +110,21 @@ class Plane3D:
 def ground_plane() -> Plane3D:
     """z = 0 ground plane."""
     return Plane3D(0.0, 0.0, 1.0, 0.0)
+
+
+def clip_pcd_by_distance_plane(points: Array, vec1, vec2, pt1, threshold):
+    """Split a point cloud by signed distance to a plane (ref utils.py:35-53).
+
+    The plane contains ``pt1`` and is spanned by ``vec1``/``vec2``;
+    ``threshold`` is ``(max, min)`` signed distance.  Points are row-major
+    (N, 3+) — extra columns (intensity, ...) ride along — vs the
+    reference's column-major ``PointCloud.data``.
+
+    Returns:
+        (close, far): points with max > distance > min, and the rest.
+    """
+    points = jnp.asarray(points)
+    plane = Plane3D.from_vectors_and_point(vec1, vec2, pt1)
+    d = plane.distance_signed(points[:, :3])
+    close = (d < threshold[0]) & (d > threshold[1])
+    return points[close], points[~close]

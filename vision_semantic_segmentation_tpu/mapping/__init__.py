@@ -14,6 +14,7 @@ from .renderer import (
     fill_black_mode,
     fill_edge,
     log_odds_to_probability,
+    map_layer_images,
     render_bev_map,
     render_bev_map_with_thresholds,
     resume_color,
@@ -35,6 +36,7 @@ __all__ = [
     "fill_black_mode",
     "fill_edge",
     "log_odds_to_probability",
+    "map_layer_images",
     "render_bev_map",
     "render_bev_map_with_thresholds",
     "resume_color",

@@ -167,3 +167,23 @@ def log_odds_to_probability(grid: Array) -> Array:
 def apply_filter(grid: Array) -> Array:
     """3x3 box smoothing of the evidence grid (ref renderer.py:175-189)."""
     return box_filter_3x3(grid)
+
+
+def map_layer_images(grid: Array, normalize: bool = True) -> Array:
+    """Per-class grayscale layer images for map inspection.
+
+    Headless equivalent of the reference's per-layer matplotlib viewer
+    (ref test/test_renderer.py:50-84 ``visualize_map_layer``): each class
+    channel of the (H, W, C) evidence grid becomes one (H, W) uint8 image.
+    ``normalize=True`` converts log evidence to probabilities first (ref
+    test_renderer.py:35-47); otherwise layers are min-max scaled.
+    """
+    grid = jnp.asarray(grid)
+    if normalize:
+        layers = log_odds_to_probability(grid)
+        scaled = layers * 255.0
+    else:
+        lo = grid.min(axis=(0, 1), keepdims=True)
+        hi = grid.max(axis=(0, 1), keepdims=True)
+        scaled = (grid - lo) / jnp.maximum(hi - lo, 1e-12) * 255.0
+    return jnp.clip(scaled, 0, 255).astype(jnp.uint8).transpose(2, 0, 1)

@@ -38,6 +38,15 @@ from .meters import MeterLogger
 from .optim import build_optimizer, build_schedule
 
 
+def _device_memory_mb() -> Optional[float]:
+    """Bytes in use on device 0, in MiB (None when the backend lacks stats)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats["bytes_in_use"] / (1024 * 1024)
+    except Exception:
+        return None
+
+
 class Trainer:
     """Config-driven trainer (ref train.py:163-243)."""
 
@@ -217,6 +226,11 @@ class Trainer:
             train_loader.set_epoch(epoch)
             meters = self.train_one_epoch(train_loader, epoch)
             self._log(f"Epoch[{epoch}] done: {meters.summary_str}")
+            mem = _device_memory_mb()
+            if mem is not None:
+                # TPU analogue of the reference's CUDA max-memory log
+                # (ref train.py:90-100)
+                self._log(f"Epoch[{epoch}] device HBM in use: {mem:.0f} MiB")
             if self._tb is not None:
                 self._tb.add_scalar("train/loss", meters.meters["loss"].global_avg, epoch)
 
