@@ -110,9 +110,10 @@ class ShiftedDepthwiseConv(nn.Module):
     lowering.
 
     ``use_pallas=True`` opts the 3x3 stride-1 pad==dilation case (ASPP's
-    atrous branches) into the halo-DMA Pallas kernel
-    (ops/pallas/depthwise.py).  OFF by default: measured slower than the
-    shifted form on v5e (see that module's docstring for numbers).
+    atrous branches) into the single-HBM-read full-plane Pallas kernel
+    (ops/pallas/depthwise.py).  OFF by default: it only TIES the shifted
+    form on v5e — the op is VPU/relayout-bound, not HBM-bound (see that
+    module's docstring for numbers).
     """
 
     features: int

@@ -1,30 +1,40 @@
-"""Dilated depthwise 3x3 conv kernel (Pallas) — MEASURED SLOWER; kept as
-a documented experiment (not on the default path, like GroupedConvEinsum).
+"""Dilated depthwise 3x3 conv kernel (Pallas).
 
 ASPP's atrous branches run depthwise 3x3 convs with dilations up to 36
 over a (180, 240, 2048) feature map (ref aspp.py:51-64).  Expressed as
 shifted multiply-adds, XLA re-reads the input once per tap (up to 9x HBM
-traffic at full camera resolution).  This kernel streams the input from
-HBM once per row tile: tiles with a 2*dilation halo are DMA'd into VMEM
-(BlockSpec tiles cannot overlap, so the halo read is a manual
-``make_async_copy`` — same pattern as render.py), channels ride the
-128-lane axis in 128-channel slabs, and all nine taps are applied to the
-loaded value in registers.
+traffic at full camera resolution).  This kernel reads it ONCE: each
+program holds the whole padded spatial plane for a 128-channel slab in
+VMEM (lane-full blocks, auto-pipelined/double-buffered by the BlockSpec
+machinery — no manual DMA, no halo re-read across programs) and applies
+all nine taps from registers.
+
+Three Mosaic constraints shape the implementation:
+  * blocks must be lane-full (last dim 128) and the full plane for a slab
+    exceeds the DEFAULT 16MB *scoped* VMEM limit — raised per-kernel via
+    ``CompilerParams(vmem_limit_bytes)`` (v5e has ~128MB physical VMEM);
+  * tap offsets (multiples of the dilation) are not sublane-aligned, so
+    row slabs come from ref slices on the untiled H axis and the W shifts
+    happen at *value* level (lax.slice -> in-register relayout);
+  * vector temporaries live on the VMEM stack, so the accumulation runs
+    in W chunks to keep the live set small (full-width f32 accumulators
+    for three dilations would blow even the raised limit).
+
+Accumulation is float32 regardless of input dtype (matches XLA's conv
+accumulation bit-for-bit — maxerr 0.0 vs the shifted form on the v5e;
+a bf16 accumulator drifts by ~0.25 on unit-scale inputs).
 
 v5e measurements at (180, 240, 2048) bf16 vs the shifted XLA form:
-d=12 6.4 vs 3.9 ms, d=24 6.8 vs 3.6 ms.  Two reasons it loses:
-(1) the serialized DMA->compute per program (no double buffering), and
-(2) VMEM limits the row tile to ~10-50 rows while the halo is 2*d rows,
-so for d >= 24 the halo RE-READ amplification rivals or exceeds the 9x
-tap traffic the kernel was meant to eliminate (at d=36 no tile fits at
-all — ``supports`` returns False).  XLA's fused shifted form already
-runs near effective bandwidth.  ShiftedDepthwiseConv therefore defaults
-to the shifted path; set ``use_pallas=True`` to opt in.
+d=12 3.51 vs 3.57 ms, d=24 3.44 vs 3.68 ms, d=36 3.81 vs 3.81 ms.
+Both land at the same ~3.5 ms floor: the op is VPU/relayout-bound (the
+unaligned sublane shifts dominate), NOT HBM-bound, so eliminating the 9x
+tap reads buys ~0-6%.  ShiftedDepthwiseConv therefore keeps the simpler
+shifted form as its default; ``use_pallas=True`` opts in.
 
-Tap offsets (multiples of the dilation) are not sublane-aligned, so the
-shifts happen at *value* level (lax.slice on the loaded array) — Mosaic
-lowers those to in-register relayouts, while ref-level strided slices
-would hit the (8, 128) tiling alignment requirement.
+A prior revision tiled rows with a manual 2*dilation-halo DMA instead;
+it measured SLOWER than the shifted XLA form (6.4 vs 3.9 ms at d=12)
+because VMEM limited tiles to ~10-50 rows, making the halo re-read rival
+the 9x tap traffic, and the single-buffered DMA serialized with compute.
 
 Only stride-1, pad == dilation, 3x3, C % 128 == 0 (the ASPP
 configuration); callers fall back to the shifted formulation otherwise.
@@ -40,61 +50,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-_VMEM_BUDGET = 8 * 1024 * 1024
 _LANE_BLOCK = 128
+_W_CHUNK = 32
+# request well under the ~128MB physical VMEM to leave pipelining margin
+_VMEM_LIMIT = 110 * 1024 * 1024
 
 
-def _kernel(tile_h, out_w, d, x_hbm, w_ref, o_ref, scratch, sem):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    dma = pltpu.make_async_copy(
-        x_hbm.at[
-            pl.ds(i * tile_h, tile_h + 2 * d),
-            slice(None),
-            pl.ds(j * _LANE_BLOCK, _LANE_BLOCK),
-        ],
-        scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-
-    # row slabs via REF slices (dim 0 is untiled -> arbitrary offsets ok);
-    # only the W shifts need value-level slices.  Keeps the VMEM stack at
-    # ~one row slab + a couple of output-tile temporaries instead of a
-    # full scratch copy + 9 materialized taps.
-    acc = None
-    for ti in range(3):
-        row = scratch[ti * d : ti * d + tile_h, :, :]
-        for tj in range(3):
-            sl = jax.lax.slice(
-                row, (0, tj * d, 0), (tile_h, tj * d + out_w, _LANE_BLOCK)
-            )
-            term = sl * w_ref[ti * 3 + tj, :]
-            acc = term if acc is None else acc + term
-    o_ref[...] = acc
+def _kernel(out_h, out_w, d, x_ref, w_ref, o_ref):
+    for cw in range(0, out_w, _W_CHUNK):
+        wc = min(_W_CHUNK, out_w - cw)
+        acc = None
+        for ti in range(3):
+            # ref slice on the untiled H axis (arbitrary offsets legal)
+            row = x_ref[ti * d : ti * d + out_h, :, :]
+            for tj in range(3):
+                sl = jax.lax.slice(
+                    row,
+                    (0, cw + tj * d, 0),
+                    (out_h, cw + tj * d + wc, _LANE_BLOCK),
+                )
+                term = sl.astype(jnp.float32) * w_ref[ti * 3 + tj, :]
+                acc = term if acc is None else acc + term
+        o_ref[:, cw : cw + wc, :] = acc.astype(o_ref.dtype)
 
 
-def _plan(h, w, d, itemsize):
-    """(tile_h, w_out, w_in) sized to the VMEM budget, or None.
-
-    Budget counts the scratch slab PLUS the live vector temporaries the
-    Mosaic stack holds (~2 row slabs + ~3 output tiles) — intermediates
-    live in VMEM, not just the declared scratch.
-    """
+def _vmem_bytes(h, w, d, itemsize):
+    """Estimated peak VMEM: 2x pipelined in/out blocks + stack temporaries
+    (one full-width row slab + a few f32 chunk accumulators), calibrated
+    against Mosaic's reported stack usage at (180, 240, 2048) bf16."""
     w_out = -(-w // 8) * 8
-    w_in = w_out + 2 * d
-    elems = _VMEM_BUDGET // (itemsize * _LANE_BLOCK)
-    tile_h = (elems - 2 * d * w_in) // (3 * w_in + 3 * w_out)
-    if tile_h < 8:
-        return None
-    return min(tile_h, h), w_out, w_in
+    hp, wp = h + 2 * d, w_out + 2 * d
+    blocks = 2 * hp * wp * itemsize + 2 * h * w_out * itemsize
+    temps = 2 * h * wp * itemsize + 4 * h * _W_CHUNK * 4
+    return _LANE_BLOCK * (blocks + temps)
 
 
 def supports(h, w, c, dilation, itemsize) -> bool:
-    """Whether the kernel applies (lane-full channel slabs, tile fits VMEM)."""
-    return c % _LANE_BLOCK == 0 and _plan(h, w, dilation, itemsize) is not None
+    """Whether the kernel applies (lane-full slabs, plane fits VMEM)."""
+    return (
+        c % _LANE_BLOCK == 0
+        and _vmem_bytes(h, w, dilation, itemsize) <= _VMEM_LIMIT
+    )
 
 
 def depthwise3x3_dilated(
@@ -113,36 +109,26 @@ def depthwise3x3_dilated(
     assert x.ndim == 4 and x.shape[0] == 1, "single-frame NHWC expected"
     _, h, w, c = x.shape
     d = dilation
-    plan = _plan(h, w, d, x.dtype.itemsize)
-    assert c % _LANE_BLOCK == 0 and plan is not None, f"unsupported {(h, w, c, d)}"
-    tile_h, w_out, w_in = plan
-    num_tiles = pl.cdiv(h, tile_h)
+    assert supports(h, w, c, d, x.dtype.itemsize), f"unsupported {(h, w, c, d)}"
+    w_out = -(-w // 8) * 8
+    w_in = w_out + 2 * d
 
-    # zero pad: conv padding (d each side) plus slack so the last row tile
-    # and the w_out-wide tap slices stay in bounds (cropped afterwards)
-    xp = jnp.pad(
-        x[0],
-        ((d, num_tiles * tile_h - h + d), (d, w_in - w - d), (0, 0)),
-    )
-    w_flat = kernel.astype(x.dtype).reshape(9, c)
+    xp = jnp.pad(x[0], ((d, d), (d, w_in - w - d), (0, 0)))
+    w_flat = kernel.astype(jnp.float32).reshape(9, c)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, tile_h, w_out, d),
-        grid=(num_tiles, c // _LANE_BLOCK),
+        functools.partial(_kernel, h, w_out, d),
+        grid=(c // _LANE_BLOCK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # full input stays in HBM
-            pl.BlockSpec((9, _LANE_BLOCK), lambda i, j: (0, j),
+            pl.BlockSpec((h + 2 * d, w_in, _LANE_BLOCK), lambda j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, _LANE_BLOCK), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (tile_h, w_out, _LANE_BLOCK), lambda i, j: (i, 0, j),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles * tile_h, w_out, c), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * d, w_in, _LANE_BLOCK), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_specs=pl.BlockSpec((h, w_out, _LANE_BLOCK), lambda j: (0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w_out, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xp, w_flat)
-    return out[None, :h, :w]
+    return out[None, :, :w]
