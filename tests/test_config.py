@@ -103,3 +103,29 @@ def test_demo_cfg():
     assert cfg.MODEL.ASPP.OUT_CHANNELS == 256
     assert cfg.MODEL.DECODER.LOW_LEVEL_OUT_CHANNELS == 48
     assert cfg.MODEL.OUTPUT_STRIDE == 16
+
+
+class TestShippedExampleConfigs:
+    """configs/*.yaml must always merge against the current schema."""
+
+    def test_example_mapping_merges(self):
+        import os.path as osp
+        from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+
+        path = osp.join(osp.dirname(__file__), "..", "configs", "example_mapping.yaml")
+        cfg = get_cfg_defaults()
+        cfg.merge_from_file(path)
+        assert cfg.MAPPING.RESOLUTION == 0.2
+        assert cfg.MAPPING.BOUNDARY == [[0, 600], [0, 1400]]
+        assert cfg.VISION_SEM_SEG.SEM_SEG_NETWORK.MODEL.TYPE == "DeepLabv3+"
+
+    def test_example_train_merges(self):
+        import os.path as osp
+        from vision_semantic_segmentation_tpu.config import get_train_cfg_defaults
+
+        path = osp.join(osp.dirname(__file__), "..", "configs", "example_train.yaml")
+        cfg = get_train_cfg_defaults()
+        cfg.merge_from_file(path)
+        assert cfg.OPTIMIZER.TYPE == "SGD"
+        assert cfg.SCHEDULER.TYPE == "PolyLRDecay"
+        assert list(cfg.TRAIN.AUGMENTATION)[0] == "RandomHorizontalFlip"

@@ -13,6 +13,7 @@ final rendered map crosses back to the host.
 from __future__ import annotations
 
 import os.path as osp
+import sys
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -154,6 +155,12 @@ class MappingReplay:
         maps = []
         for path in iter_sequence_files(input_dir):
             maps.append(self.replay_file(path))
+        if not maps:
+            # a typo'd MAPPING.INPUT_DIR should not be a silent success
+            print(
+                f"replay: no sequence files (.npz/.pkl/.hkl) found in "
+                f"{input_dir!r}", file=sys.stderr,
+            )
         return maps
 
 
