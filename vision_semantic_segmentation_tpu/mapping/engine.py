@@ -468,7 +468,7 @@ class SemanticMappingEngine:
         """Fuse one frame into the grid.
 
         Args:
-            grid: (H, W, C) evidence grid.
+            grid: planar (C, H, W) evidence grid (from ``init_grid``).
             pcd: (4, N) points [x, y, z, intensity] (N static per bucket).
             valid: (N,) mask for padded points.
             image: (Hi, Wi, 3) uint8 semantic RGB image.
