@@ -189,3 +189,16 @@ OUTPUT_DIR: '{tmp_path}/train_out'
     )
     cli_main(["train", "--cfg", str(cfg_path)])
     assert (tmp_path / "train_out" / "last_checkpoint").exists()
+
+
+def test_replay_empty_dir_warns(tmp_path, capsys):
+    """A typo'd/empty MAPPING.INPUT_DIR must not be a silent success."""
+    from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+    from vision_semantic_segmentation_tpu.runtime.replay import MappingReplay
+
+    cfg = get_cfg_defaults()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.MAPPING.INPUT_DIR = str(tmp_path / "nonexistent")
+    maps = MappingReplay(cfg).replay_dir()
+    assert maps == []
+    assert "no sequence files" in capsys.readouterr().err
