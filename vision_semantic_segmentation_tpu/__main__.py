@@ -14,7 +14,6 @@ CLI:
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def _load_app_cfg(config_file: str):

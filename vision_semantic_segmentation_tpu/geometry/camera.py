@@ -11,7 +11,7 @@ are reproduced from the calibration YAMLs they were derived from
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

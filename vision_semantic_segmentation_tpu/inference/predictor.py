@@ -13,7 +13,6 @@ frame.  TPU-first differences:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

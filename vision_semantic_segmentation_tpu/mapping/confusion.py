@@ -8,7 +8,7 @@ that are scatter-added into the grid (ref mapping.py:127-132,424).
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

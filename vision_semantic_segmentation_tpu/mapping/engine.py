@@ -39,7 +39,6 @@ from ..geometry.transforms import (
     se3_inverse,
 )
 from ..ops.colormap import colors_to_labels
-from ..ops.scatter import masked_scatter_add_channel, masked_scatter_add_rows
 
 Array = jnp.ndarray
 

@@ -11,7 +11,7 @@ Modes (ref stitching.py:76-98):
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

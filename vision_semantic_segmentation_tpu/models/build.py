@@ -9,12 +9,12 @@ DDP default) selects the shard_map per-device-statistics train step
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .deeplab import DeepLabV3Plus, deeplab_from_cfg
+from .deeplab import deeplab_from_cfg
 from .loss import CrossEntropyLoss
 from .metrics import MeanIOU
 from .xception import Xception65

@@ -8,7 +8,7 @@ the TPU-native layout — with HWIO kernels.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import flax.linen as nn
 import jax

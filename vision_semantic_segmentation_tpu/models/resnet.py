@@ -18,7 +18,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import BlockDiagGroupedConv, GroupedConvEinsum, kaiming_normal_out
+from .layers import BlockDiagGroupedConv, kaiming_normal_out
 
 Array = jnp.ndarray
 

@@ -9,7 +9,7 @@ pre-activation low-level feature.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

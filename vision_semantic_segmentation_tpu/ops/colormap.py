@@ -9,7 +9,6 @@ jit-compatible equivalents.
 from __future__ import annotations
 
 import json
-from typing import List, Sequence
 
 import jax.numpy as jnp
 import numpy as np

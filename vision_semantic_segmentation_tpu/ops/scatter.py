@@ -9,7 +9,6 @@ deterministic accumulation order.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray

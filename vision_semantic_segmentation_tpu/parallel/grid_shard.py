@@ -20,7 +20,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..mapping.engine import SemanticMappingEngine
-from ..ops.scatter import masked_scatter_add_channel, masked_scatter_add_rows
 
 Array = jnp.ndarray
 

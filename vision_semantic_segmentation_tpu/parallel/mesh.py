@@ -14,7 +14,7 @@ No process groups, no rendezvous code: multi-host launch reduces to
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

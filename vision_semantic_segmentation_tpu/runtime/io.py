@@ -13,7 +13,7 @@ import dataclasses
 import os
 import os.path as osp
 import pickle
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 

@@ -10,10 +10,9 @@ import attempts an automatic ``make``).
 from __future__ import annotations
 
 import ctypes
-import os
 import os.path as osp
 import subprocess
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

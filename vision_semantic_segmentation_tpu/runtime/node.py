@@ -245,8 +245,6 @@ class MappingNode:
             )
         else:
             # planar fallback (ref :321): ego-centric ground-plane warp
-            from ..geometry.transforms import pose_to_matrix
-
             T_local_to_base = np.eye(4)
             self.grid = self.engine.update_map_planar(
                 self.grid, np.asarray(msg.data), T_local_to_base, camera=msg.frame_id

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os.path as osp
 import sys
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

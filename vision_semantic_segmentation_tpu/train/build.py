@@ -1,7 +1,6 @@
 """Dataloader + transform builders (ref data/build.py:10-104)."""
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 

@@ -16,7 +16,6 @@ from typing import Any, Dict, Optional
 
 import json
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

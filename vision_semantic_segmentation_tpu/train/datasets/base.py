@@ -12,7 +12,7 @@ from __future__ import annotations
 import concurrent.futures
 import os
 import os.path as osp
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

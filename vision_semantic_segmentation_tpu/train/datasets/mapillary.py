@@ -3,7 +3,7 @@ from __future__ import annotations
 
 import json
 import os.path as osp
-from typing import Dict, Optional
+from typing import Dict
 
 from PIL import Image
 

@@ -16,7 +16,7 @@ import json
 import os
 import os.path as osp
 from multiprocessing import Pool
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 from PIL import Image

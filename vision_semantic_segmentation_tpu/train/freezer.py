@@ -9,7 +9,7 @@ fixed — both expressed as pure transformations.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Sequence
+from typing import Sequence
 
 import jax
 import optax

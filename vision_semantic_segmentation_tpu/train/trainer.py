@@ -20,7 +20,6 @@ import jax
 import numpy as np
 
 from ..models.build import build_model
-from ..models.metrics import miou_from_confusion
 from ..parallel.mesh import create_mesh, shard_batch
 from ..parallel.train_step import (
     TrainState,

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numbers
 import random
 import warnings
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import PIL.Image

@@ -12,7 +12,7 @@ Rebuild of `/root/reference/src/utils/utils_ros.py:31-123` without rospy:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
