@@ -24,7 +24,6 @@ from vision_semantic_segmentation_tpu.mapping import (
 )
 from vision_semantic_segmentation_tpu.models import build_backbone, deeplab_from_cfg
 from vision_semantic_segmentation_tpu.models.aspp import ASPP
-from vision_semantic_segmentation_tpu.models.decoder import Decoder
 
 H, W = 1440, 1920
 T = 4

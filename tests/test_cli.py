@@ -1,9 +1,7 @@
 """CLI launcher tests (python -m vision_semantic_segmentation_tpu ...)."""
-import json
 import os
 
 import numpy as np
-import pytest
 
 from vision_semantic_segmentation_tpu.__main__ import main as cli_main
 

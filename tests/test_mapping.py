@@ -357,7 +357,6 @@ class TestFillBlackMode:
 class TestDualCameraFusion:
     def test_cam1_plus_cam6(self, rng):
         """Dual-camera fusion into one grid (BASELINE.json config 4)."""
-        from vision_semantic_segmentation_tpu.geometry import camera_setup_6
 
         cfg = small_cfg()
         engine = SemanticMappingEngine(cfg, evidence=np.eye(5))

@@ -1,11 +1,10 @@
 """Runtime tests: bus sync semantics, frame IO, replay, node pipeline E2E."""
 import numpy as np
-import pytest
 import jax
 
 from vision_semantic_segmentation_tpu.config import get_cfg_defaults
-from vision_semantic_segmentation_tpu.mapping import PCD_ORIGIN_OFFSET, SemanticMappingEngine
-from vision_semantic_segmentation_tpu.runtime.bus import Message, TopicBus, nearest_stamp_index
+from vision_semantic_segmentation_tpu.mapping import SemanticMappingEngine
+from vision_semantic_segmentation_tpu.runtime.bus import TopicBus, nearest_stamp_index
 from vision_semantic_segmentation_tpu.runtime.io import FrameRecord, load_frames, save_frames
 from vision_semantic_segmentation_tpu.runtime.node import MappingNode, SegmentationNode
 from vision_semantic_segmentation_tpu.runtime.replay import MappingReplay

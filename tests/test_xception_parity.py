@@ -7,7 +7,6 @@ name-mapped weight conversion.
 import sys
 
 import numpy as np
-import pytest
 import torch
 import jax
 import jax.numpy as jnp

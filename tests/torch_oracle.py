@@ -6,7 +6,6 @@ dilation replacement, grouped bottleneck width) used purely as a test
 oracle.  Parameter names match torchvision's so the production weight
 converter exercises the same key layout as real checkpoints.
 """
-import torch
 import torch.nn as nn
 
 
