@@ -217,3 +217,88 @@ class TestPerDeviceBN:
         # implicit-psum double count of shard_map cotangents)
         for a, b in zip(jax.tree.leaves(state_pd.params), jax.tree.leaves(state_sync.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestMultiStepDispatch:
+    """K train steps fused per dispatch (TRAIN.STEPS_PER_DISPATCH)."""
+
+    def _make(self, rng):
+        cfg = _tiny_cfg()
+        model, *_ = build_model(cfg)
+        x = jnp.zeros((1, 16, 16, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        tx = optax.sgd(0.1, momentum=0.9)
+        state = TrainState.create(model, variables, tx, jax.random.PRNGKey(1))
+        batches = [
+            {
+                "image": rng.standard_normal((8, 16, 16, 3)).astype(np.float32),
+                "label": rng.integers(0, 5, (8, 16, 16)).astype(np.int32),
+            }
+            for _ in range(3)
+        ]
+        return state, batches
+
+    def test_scan_matches_sequential(self, rng, devices):
+        from vision_semantic_segmentation_tpu.parallel import (
+            jit_multi_train_step,
+            make_multi_train_step,
+            shard_stacked_batches,
+        )
+
+        mesh = create_mesh(axis_names=("data",), devices=devices)
+        state, batches = self._make(rng)
+
+        # sequential reference over the same three batches
+        step = jit_train_step(make_train_step(num_classes=5), mesh)
+        state_seq = state
+        seq_losses = []
+        for b in batches:
+            state_seq, m = step(state_seq, shard_batch(mesh, b))
+            seq_losses.append(float(m["loss"]))
+
+        multi = jit_multi_train_step(make_multi_train_step(5, steps=3), mesh)
+        stacked = shard_stacked_batches(mesh, {
+            "image": np.stack([b["image"] for b in batches]),
+            "label": np.stack([b["label"] for b in batches]),
+        })
+        state_multi, metrics = multi(state, stacked)
+
+        np.testing.assert_allclose(
+            np.asarray(metrics["loss"]), np.asarray(seq_losses), rtol=1e-5
+        )
+        assert int(state_multi.step) == int(state_seq.step) == 3
+        for a, b in zip(
+            jax.tree.leaves(state_seq.params), jax.tree.leaves(state_multi.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_per_device_bn_scan_matches_sequential(self, rng, devices):
+        from vision_semantic_segmentation_tpu.parallel import (
+            make_per_device_bn_train_step,
+            shard_stacked_batches,
+        )
+
+        mesh = create_mesh(axis_names=("data",), devices=devices)
+        state, batches = self._make(rng)
+        batches = batches[:2]
+
+        step = make_per_device_bn_train_step(5, mesh)
+        state_seq = state
+        for b in batches:
+            state_seq, m = step(state_seq, shard_batch(mesh, b))
+
+        multi = make_per_device_bn_train_step(5, mesh, steps=2)
+        stacked = shard_stacked_batches(mesh, {
+            "image": np.stack([b["image"] for b in batches]),
+            "label": np.stack([b["label"] for b in batches]),
+        })
+        state_multi, metrics = multi(state, stacked)
+
+        assert metrics["loss"].shape == (2,)
+        np.testing.assert_allclose(
+            float(metrics["loss"][-1]), float(m["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(state_seq.params), jax.tree.leaves(state_multi.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -316,3 +316,61 @@ class TestRemat:
             outs.append((float(metrics["loss"]), jax.tree.leaves(state.params)[0]))
         assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-6)
         np.testing.assert_allclose(np.asarray(outs[0][1]), np.asarray(outs[1][1]), atol=1e-6)
+
+
+class TestStepsPerDispatch:
+    """TRAIN.STEPS_PER_DISPATCH: K steps fused per dispatch in the Trainer."""
+
+    def _cfg(self, k):
+        cfg = get_train_cfg_defaults()
+        cfg.MODEL.TYPE = "Dummy"
+        cfg.DATASET.NUM_CLASSES = 3
+        cfg.DATASET.IN_CHANNELS = 3
+        cfg.OPTIMIZER.TYPE = "SGD"
+        cfg.OPTIMIZER.BASE_LR = 0.1
+        cfg.OPTIMIZER.SGD.momentum = 0.9
+        cfg.SCHEDULER.TYPE = "PolyLRDecay"
+        cfg.SCHEDULER.PolyLRDecay.max_iter = 100
+        cfg.SCHEDULER.MAX_EPOCH = 1
+        cfg.TRAIN.BATCH_SIZE = 8
+        cfg.TRAIN.STEPS_PER_DISPATCH = k
+        cfg.RNG_SEED = 3
+        return cfg
+
+    def _loader(self):
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 3, (40, 16, 16)).astype(np.int32)
+        images = np.eye(3, dtype=np.float32)[labels] * 3.0
+
+        class Loader:
+            def set_epoch(self, e):
+                pass
+
+            def __len__(self):
+                return 5
+
+            def __iter__(self):
+                for i in range(5):  # 5 batches: 2 full dispatches of 2 + 1 rest
+                    yield {
+                        "image": images[i * 8 : (i + 1) * 8],
+                        "label": labels[i * 8 : (i + 1) * 8],
+                    }
+
+        return Loader()
+
+    def test_matches_single_step_path(self, tmp_path):
+        t1 = Trainer(self._cfg(1), output_dir=str(tmp_path / "a"))
+        m1 = t1.train_one_epoch(self._loader(), 0)
+        t2 = Trainer(self._cfg(2), output_dir=str(tmp_path / "b"))
+        m2 = t2.train_one_epoch(self._loader(), 0)
+
+        # identical step count, per-step losses, and final parameters
+        assert int(t1.state.step) == int(t2.state.step) == 5
+        np.testing.assert_allclose(
+            m1.meters["loss"].global_avg, m2.meters["loss"].global_avg, rtol=1e-5
+        )
+        import jax
+        for a, b in zip(
+            jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

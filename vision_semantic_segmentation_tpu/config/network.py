@@ -76,6 +76,10 @@ def _train_base() -> CN:
     _C.TRAIN.BATCH_SIZE = 1
     _C.TRAIN.CHECKPOINT_PERIOD = DISABLE
     _C.TRAIN.LOG_PERIOD = DISABLE
+    # TPU-specific (no reference equivalent): train steps fused per device
+    # dispatch via lax.scan. Dispatch overhead is per call and scales with
+    # the parameter-tree size; >1 amortizes it (essential on tunneled TPUs).
+    _C.TRAIN.STEPS_PER_DISPATCH = 1
     _C.TRAIN.AUGMENTATION = ()
     _C.TRAIN.FROZEN_PATTERNS = ()
     _C.TRAIN.FREEZE_BATCHNORM = False

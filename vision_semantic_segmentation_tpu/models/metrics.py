@@ -34,11 +34,14 @@ def confusion_matrix_update(preds: Array, labels: Array, num_class: int) -> Arra
     preds = preds.astype(jnp.int32).reshape(-1)
     labels = labels.astype(jnp.int32).reshape(-1)
     valid = (labels >= 0) & (labels < num_class)
-    flat = labels * num_class + preds
-    flat = jnp.where(valid, flat, num_class * num_class)  # drop sentinel
-    counts = jnp.zeros((num_class * num_class,), dtype=jnp.float32)
-    counts = counts.at[flat].add(1.0, mode="drop")
-    return counts.reshape(num_class, num_class)
+    # one-hot matmul, NOT a scatter-add: XLA serializes duplicate-index
+    # scatters on TPU (~1M points colliding into C^2 slots cost SECONDS per
+    # train step); the (C, N) @ (N, C) contraction runs on the MXU and the
+    # f32 accumulator keeps counts exact up to 2^24 points.
+    lab_oh = jax.nn.one_hot(jnp.where(valid, labels, 0), num_class, dtype=jnp.float32)
+    lab_oh = lab_oh * valid[:, None].astype(jnp.float32)
+    pred_oh = jax.nn.one_hot(preds, num_class, dtype=jnp.float32)
+    return jnp.matmul(lab_oh.T, pred_oh, precision=jax.lax.Precision.HIGHEST)
 
 
 def miou_from_confusion(cm: Array) -> Array:

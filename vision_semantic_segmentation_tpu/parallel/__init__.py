@@ -4,12 +4,15 @@ from .mesh import (
     grid_row_sharding,
     replicated,
     shard_batch,
+    shard_stacked_batches,
 )
 from .train_step import (
     TrainState,
     jit_eval_step,
+    jit_multi_train_step,
     jit_train_step,
     make_eval_step,
+    make_multi_train_step,
     make_per_device_bn_train_step,
     make_train_step,
 )
@@ -21,9 +24,12 @@ __all__ = [
     "grid_row_sharding",
     "replicated",
     "shard_batch",
+    "shard_stacked_batches",
     "TrainState",
     "jit_eval_step",
+    "jit_multi_train_step",
     "jit_train_step",
+    "make_multi_train_step",
     "make_eval_step",
     "make_per_device_bn_train_step",
     "make_train_step",

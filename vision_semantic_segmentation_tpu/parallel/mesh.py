@@ -61,3 +61,10 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a host batch onto the mesh, sharded along the leading dim."""
     sharding = data_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_stacked_batches(mesh: Mesh, batches, axis: str = "data"):
+    """Place (K, B, ...) stacked per-step batches: dim 0 = scan step
+    (replicated), dim 1 = batch (sharded along ``axis``)."""
+    sharding = NamedSharding(mesh, P(None, axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batches)
