@@ -89,17 +89,16 @@ class TestDataParallelTrainStep:
 
 
 class TestShardedGrid:
-    def test_matches_unsharded(self, rng, devices):
-        from test_mapping import make_frame, small_cfg
+    def _run_pair(self, rng, cfg, semantics, devices, n=2000):
+        """Run the same frame through engine.step and the sharded step."""
+        from test_mapping import make_frame
 
-        cfg = small_cfg()
         engine = SemanticMappingEngine(
-            cfg, evidence=np.eye(5), duplicate_semantics="accumulate"
+            cfg, evidence=np.eye(5), duplicate_semantics=semantics
         )
-        pts, img, position, quaternion = make_frame(rng, cfg, n=2000)
+        pts, img, position, quaternion = make_frame(rng, cfg, n=n)
         pcd_pad, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
 
-        # single-device reference (accumulate semantics)
         grid_ref, _, _ = engine.step(
             engine.init_grid(), pcd_pad, valid, img, position, quaternion
         )
@@ -111,9 +110,58 @@ class TestShardedGrid:
             grid_sh, jnp.asarray(pcd_pad), jnp.asarray(valid), jnp.asarray(img),
             jnp.asarray(position, jnp.float32), jnp.asarray(quaternion, jnp.float32),
         )
-        np.testing.assert_allclose(
-            np.asarray(gather_grid(grid_sh)), np.asarray(grid_ref), atol=1e-4
+        return np.asarray(gather_grid(grid_sh)), np.asarray(grid_ref)
+
+    @pytest.mark.parametrize("semantics", ["accumulate", "reference"])
+    def test_matches_unsharded(self, rng, devices, semantics):
+        from test_mapping import small_cfg
+
+        got, want = self._run_pair(rng, small_cfg(), semantics, devices)
+        assert want.sum() > 0
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("semantics", ["accumulate", "reference"])
+    def test_windowed_matches_unsharded(self, rng, devices, semantics):
+        from test_mapping import small_cfg
+
+        cfg = small_cfg()
+        # window smaller than the grid and smaller than a band multiple, so
+        # slabs straddle shard boundaries
+        cfg.MAPPING.UPDATE_WINDOW = 96
+        got, want = self._run_pair(rng, cfg, semantics, devices)
+        assert want.sum() > 0
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_full_route_scale_smoke(self, rng, devices):
+        """Full-route 5000x7000 grid (README.md:173-177): the grid shards
+        1/n per device and a windowed step runs without densifying H*W."""
+        from test_mapping import make_frame
+
+        cfg = get_cfg_defaults()
+        cfg.MAPPING.BOUNDARY = [[0, 1000], [0, 1400]]
+        cfg.MAPPING.RESOLUTION = 0.2
+        cfg.MAPPING.POINT_BUCKET = 4096
+        cfg.MAPPING.UPDATE_WINDOW = 512
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        assert engine.grid_spec.shape[:2] == (5000, 7000)
+
+        mesh = create_mesh(axis_names=("grid",), devices=devices)
+        grid = init_sharded_grid(engine, mesh)
+        # per-device memory is 1/8 of the full grid
+        shard_shapes = {s.data.shape for s in grid.addressable_shards}
+        assert shard_shapes == {(5, 5000 // 8, 7000)}
+
+        # a frame whose points land inside this grid's boundary
+        small = get_cfg_defaults()
+        small.MAPPING.BOUNDARY = [[100, 140], [800, 840]]
+        pts, img, position, quaternion = make_frame(rng, small, n=2000)
+        pcd_pad, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        step = make_sharded_step(engine, mesh)
+        grid = step(
+            grid, jnp.asarray(pcd_pad), jnp.asarray(valid), jnp.asarray(img),
+            jnp.asarray(position, jnp.float32), jnp.asarray(quaternion, jnp.float32),
         )
+        assert float(jnp.sum(grid)) > 0
 
     def test_sharding_layout(self, devices):
         cfg = get_cfg_defaults()

@@ -278,20 +278,22 @@ class SemanticMappingEngine:
 
         return pointwise
 
-    def _build_update(self):
-        """Closure applying the sorted segmented grid update.
+    def _build_dense_update(self):
+        """Closure applying the sorted segmented-scan update to a slab.
 
-        Shared by the engine step and the fused pipeline.
+        Returns ``update(grid, cell, cls, intensity, upd, gh, gw)`` where
+        ``grid`` is a planar (C, gh, gw) slab and ``cell`` indexes it as
+        ``row * gw + col``.  Shared by the single-device step, its windowed
+        variant, and the grid-sharded step (parallel/grid_shard.py), so
+        every path gets the same duplicate semantics and the fast
+        sort + segmented-scan + unique-scatter + MXU-matmul update.
         """
         # (C_chan, C_obs): column i is the additive evidence when class i
         # is observed (ref mapping.py:424 uses confusion_matrix[:, i])
         self_evidence = jnp.asarray(self.evidence, dtype=jnp.float32)
-        spec = self.grid_spec
-        h, w = spec.height, spec.width
         lane = self.lane_channel
         use_intensity = self.use_intensity and lane >= 0
         dedupe = self.duplicate_semantics == "reference"
-
         num_cls = self_evidence.shape[0]
 
         def _segmented_sum(flags_first, values):
@@ -304,35 +306,6 @@ class SemanticMappingEngine:
 
             _, summed = jax.lax.associative_scan(combine, (flags_first, values))
             return summed
-
-        # Windowed mode: a frame's visible points span at most ~2x the LiDAR
-        # range, so for big grids (the 5000x7000 full route) the update
-        # operates on a pose-centered (C, win, win) slab via dynamic slices
-        # instead of densifying observations over all H*W cells — making the
-        # per-frame cost independent of the global grid size.
-        win = int(self.update_window) if self.update_window else 0
-        windowed = 0 < win < max(h, w)
-
-        def _window_update(grid, cell, cls, intensity, upd):
-            row = cell // w
-            col = cell % w
-            n_upd = jnp.maximum(jnp.sum(upd), 1)
-            # center the window on the mean updated cell (robust for both
-            # the world-frame and ego-frame point modes)
-            r_mean = jnp.sum(jnp.where(upd, row, 0)) // n_upd
-            c_mean = jnp.sum(jnp.where(upd, col, 0)) // n_upd
-            r0 = jnp.clip(r_mean - win // 2, 0, max(h - win, 0))
-            c0 = jnp.clip(c_mean - win // 2, 0, max(w - win, 0))
-
-            lr = row - r0
-            lc = col - c0
-            in_win = (lr >= 0) & (lr < win) & (lc >= 0) & (lc < win)
-            upd_w = upd & in_win
-            local_cell = lr * win + lc
-
-            slab = jax.lax.dynamic_slice(grid, (0, r0, c0), (num_cls, win, win))
-            slab = _dense_update(slab, local_cell, cls, intensity, upd_w, win, win)
-            return jax.lax.dynamic_update_slice(grid, slab, (0, r0, c0))
 
         def _dense_update(grid, cell, cls, intensity, upd, gh, gw):
             # --- TPU-fast Bayesian update (ref :414-424) -------------------
@@ -403,6 +376,48 @@ class SemanticMappingEngine:
                 grid = grid.at[lane].add(boost_buf.reshape(gh, gw))
 
             return grid
+
+        return _dense_update
+
+    def _build_update(self):
+        """Closure applying the frame update to the full (C, H, W) grid.
+
+        Shared by the engine step and the fused pipeline.  Windowed mode:
+        a frame's visible points span at most ~2x the LiDAR range, so for
+        big grids (the 5000x7000 full route) the update operates on a
+        pose-centered (C, win, win) slab via dynamic slices instead of
+        densifying observations over all H*W cells — making the per-frame
+        cost independent of the global grid size.
+        """
+        _dense_update = self._build_dense_update()
+        spec = self.grid_spec
+        h, w = spec.height, spec.width
+        num_cls = self.evidence.shape[0]
+        win = int(self.update_window) if self.update_window else 0
+        windowed = 0 < win < max(h, w)
+        win_r = min(win, h)
+        win_c = min(win, w)
+
+        def _window_update(grid, cell, cls, intensity, upd):
+            row = cell // w
+            col = cell % w
+            n_upd = jnp.maximum(jnp.sum(upd), 1)
+            # center the window on the mean updated cell (robust for both
+            # the world-frame and ego-frame point modes)
+            r_mean = jnp.sum(jnp.where(upd, row, 0)) // n_upd
+            c_mean = jnp.sum(jnp.where(upd, col, 0)) // n_upd
+            r0 = jnp.clip(r_mean - win_r // 2, 0, max(h - win_r, 0))
+            c0 = jnp.clip(c_mean - win_c // 2, 0, max(w - win_c, 0))
+
+            lr = row - r0
+            lc = col - c0
+            in_win = (lr >= 0) & (lr < win_r) & (lc >= 0) & (lc < win_c)
+            upd_w = upd & in_win
+            local_cell = lr * win_c + lc
+
+            slab = jax.lax.dynamic_slice(grid, (0, r0, c0), (num_cls, win_r, win_c))
+            slab = _dense_update(slab, local_cell, cls, intensity, upd_w, win_r, win_c)
+            return jax.lax.dynamic_update_slice(grid, slab, (0, r0, c0))
 
         if windowed:
             return _window_update

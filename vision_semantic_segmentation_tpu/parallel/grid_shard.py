@@ -8,6 +8,19 @@ the cheap per-point math is replicated, and every device scatter-adds only
 the points that fall inside its band — no cross-device traffic at all
 during accumulation (cell ownership routes updates), and a single
 all-gather only if/when the full map is rendered.
+
+The per-band update is the engine's own fast path
+(``SemanticMappingEngine._build_dense_update``: sort + segmented scan +
+unique-index scatter + one MXU matmul), so both duplicate-semantics modes
+('reference' fancy-index dedupe and 'accumulate') and the LiDAR lane boost
+behave identically to the single-device step.  Cells are owned by exactly
+one band, so per-band dedupe equals global dedupe.
+
+Windowed mode (``MAPPING.UPDATE_WINDOW`` > 0) is honored: every device
+computes the same global pose-centered window from the replicated
+pointwise results, then updates only its band's intersection with it via
+a dynamic slab slice — per-frame cost stays independent of the global
+grid size, exactly as in the unsharded engine.
 """
 from __future__ import annotations
 
@@ -34,20 +47,26 @@ def make_sharded_step(
     """Build a jitted frame step whose grid is row-sharded over ``axis``.
 
     Returns ``step(grid_sharded, pcd, valid, image, position, quaternion)``
-    where ``grid_sharded`` has NamedSharding P(axis) on its row dim.
-    Per-point semantics match the engine's 'accumulate' mode (per-point
-    adds; the reference-quirk dedup is a single-device parity concern).
+    where ``grid_sharded`` has NamedSharding P(None, axis) on its row dim.
+    Matches the single-device ``engine.step`` bit-for-bit in both
+    duplicate-semantics modes (see tests/test_parallel.py).
     """
     pointwise = engine._build_pointwise(camera, pcd_in_velodyne_frame)
-    evidence_T = jnp.asarray(engine.evidence.T)  # row i = evidence column i
+    dense_update = engine._build_dense_update()
     spec = engine.grid_spec
     h, w = spec.height, spec.width
-    num_cls = evidence_T.shape[0]
-    lane = engine.lane_channel
-    use_intensity = engine.use_intensity and lane >= 0
+    num_cls = engine.evidence.shape[0]
     nshards = mesh.shape[axis]
     assert h % nshards == 0, f"grid rows {h} must divide into {nshards} shards"
     band = h // nshards
+
+    win = int(engine.update_window) if engine.update_window else 0
+    windowed = 0 < win < max(h, w)
+    # global window extents (matching engine._build_update) and the
+    # per-band slab extents
+    win_r = min(win, h)
+    win_c = min(win, w)
+    slab_r = min(win_r, band)
 
     @partial(
         shard_map,
@@ -57,34 +76,47 @@ def make_sharded_step(
     )
     def _sharded_update(grid_band, pcd, valid, image, position, quaternion):
         # grid_band: (C, band, W) planar slice owned by this device
-        cell, cls, vis, upd, boost = pointwise(pcd, valid, image, position, quaternion)
+        cell, cls, vis, upd, _ = pointwise(pcd, valid, image, position, quaternion)
+        intensity = pcd[3]
         shard_id = jax.lax.axis_index(axis)
         row = cell // w
+        col = cell % w
         local_row = row - shard_id * band
         in_band = (local_row >= 0) & (local_row < band)
-        local_cell = local_row * w + cell % w
         ok = upd & in_band
 
-        flat = grid_band.reshape(num_cls, band * w)
-        idx = jnp.where(ok, jnp.clip(cls, 0) * (band * w) + local_cell,
-                        num_cls * band * w)
-        contrib = jnp.ones_like(local_cell, dtype=grid_band.dtype)
-        obs = jnp.zeros((num_cls * band * w,), grid_band.dtype)
-        obs = obs.at[idx].add(contrib, mode="drop")
-        delta = jnp.matmul(
-            jnp.asarray(engine.evidence, jnp.float32),
-            obs.reshape(num_cls, band * w),
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        flat = flat + delta
-        if use_intensity:
-            bidx = jnp.where(boost & in_band, local_cell, band * w)
-            bbuf = jnp.zeros((band * w,), grid_band.dtype)
-            bbuf = bbuf.at[bidx].add(2.0, mode="drop")
-            flat = flat.at[lane].add(bbuf)
-        return flat.reshape(num_cls, band, w)
+        if not windowed:
+            local_cell = local_row * w + col
+            return dense_update(grid_band, local_cell, cls, intensity, ok, band, w)
 
-    return jax.jit(_sharded_update)
+        # Global window center from ALL updated points — the pointwise
+        # inputs are replicated, so every shard computes identical r0/c0.
+        n_upd = jnp.maximum(jnp.sum(upd), 1)
+        r_mean = jnp.sum(jnp.where(upd, row, 0)) // n_upd
+        c_mean = jnp.sum(jnp.where(upd, col, 0)) // n_upd
+        r0 = jnp.clip(r_mean - win_r // 2, 0, max(h - win_r, 0))
+        c0 = jnp.clip(c_mean - win_c // 2, 0, max(w - win_c, 0))
+        # parity with the unsharded window: only points inside the GLOBAL
+        # window are applied (the band slab may extend past it)
+        in_gwin = (
+            (row >= r0) & (row < r0 + win_r) & (col >= c0) & (col < c0 + win_c)
+        )
+
+        # this band's slab: covers the window∩band rows (possibly more)
+        r0_local = jnp.clip(r0 - shard_id * band, 0, band - slab_r)
+        lr = local_row - r0_local
+        lc = col - c0
+        in_slab = (lr >= 0) & (lr < slab_r) & (lc >= 0) & (lc < win_c)
+        ok_w = ok & in_gwin & in_slab
+        local_cell = lr * win_c + lc
+
+        slab = jax.lax.dynamic_slice(
+            grid_band, (0, r0_local, c0), (num_cls, slab_r, win_c)
+        )
+        slab = dense_update(slab, local_cell, cls, intensity, ok_w, slab_r, win_c)
+        return jax.lax.dynamic_update_slice(grid_band, slab, (0, r0_local, c0))
+
+    return jax.jit(_sharded_update, donate_argnums=(0,))
 
 
 def init_sharded_grid(engine: SemanticMappingEngine, mesh: Mesh, axis: str = "grid") -> Array:
