@@ -49,7 +49,7 @@ xavier_normal = nn.initializers.xavier_normal()
 
 
 class BlockDiagGroupedConv(nn.Module):
-    """Grouped conv executed as a dense conv with a block-diagonal kernel.
+    """Grouped conv executed as dense conv(s) with block-diagonal kernels.
 
     XLA lowers ``feature_group_count > 1`` convolutions very poorly on TPU
     (measured 11x slower than dense for ResNeXt's 32-group 3x3s): each
@@ -57,6 +57,15 @@ class BlockDiagGroupedConv(nn.Module):
     kernel to its block-diagonal dense equivalent is numerically identical
     (off-block weights are exact zeros) and runs at dense-conv speed for
     ~G-times the nominal FLOPs — a large net win for small channel groups.
+
+    Tile-diagonal refinement: the MXU consumes the dense C x C kernel as a
+    (C/128) x (C/128) grid of 128x128 lane tiles, and a block-diagonal
+    kernel is nonzero only on the diagonal tiles (group boundaries align
+    with the 128-lane tile whenever 128 % (C/G) == 0).  So instead of one
+    dense C -> C conv, run T = C/128 independent dense 128 -> 128 convs —
+    one per diagonal tile — cutting FLOPs by T (8x for ResNeXt50's layer4,
+    where block-diag dense burns 32x nominal) at identical numerics and
+    perfect MXU tiling.  Enabled automatically when shapes allow.
 
     The parameter keeps flax's grouped-kernel shape (kh, kw, in/g, out), so
     converted torch checkpoints load unchanged.
@@ -70,6 +79,7 @@ class BlockDiagGroupedConv(nn.Module):
     kernel_dilation: Tuple[int, int] = (1, 1)
     dtype: Optional[jnp.dtype] = None
     kernel_init: nn.initializers.Initializer = None
+    lane_tile: int = 128  # MXU lane width; the tile-diagonal chunk size
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -80,6 +90,43 @@ class BlockDiagGroupedConv(nn.Module):
         kh, kw = self.kernel_size
         init = self.kernel_init or kaiming_normal_out
         kernel = self.param("kernel", init, (kh, kw, cg, self.features))
+        dtype = self.dtype or x.dtype
+
+        def conv(lhs, rhs):
+            return jax.lax.conv_general_dilated(
+                lhs,
+                rhs.astype(dtype),
+                window_strides=self.strides,
+                padding=self.padding,
+                rhs_dilation=self.kernel_dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        # tile-diagonal: T chunks of exactly one lane tile, each holding
+        # g/T whole groups (requires group edges on lane-tile edges)
+        tile = self.lane_tile
+        T = in_ch // tile if in_ch % tile == 0 else 1
+        if T > 1 and g % T == 0 and self.features % T == 0:
+            gpt = g // T  # groups per tile
+            cin_t = in_ch // T  # == gpt * cg == tile
+            cout_t = self.features // T  # == gpt * co
+            # (kh, kw, cg, g*co) -> (kh, kw, cg, T, gpt, co); the output
+            # axis is group-major so it factors as (T, gpt, co)
+            k6 = kernel.reshape(kh, kw, cg, T, gpt, co)
+            eye = jnp.eye(gpt, dtype=kernel.dtype)
+            # per-tile block-diagonal dense kernels (kh, kw, T, cin_t, cout_t)
+            dense_t = jnp.einsum("hwitgo,pg->hwtpigo", k6, eye).reshape(
+                kh, kw, T, cin_t, cout_t
+            )
+            xc = x.astype(dtype)
+            outs = [
+                conv(
+                    jax.lax.slice_in_dim(xc, t * cin_t, (t + 1) * cin_t, axis=3),
+                    dense_t[:, :, t],
+                )
+                for t in range(T)
+            ]
+            return jnp.concatenate(outs, axis=-1)
 
         # expand to block-diagonal dense: dense[.., p*cg+i, g*co+o] =
         # kernel[.., i, g*co+o] iff p == g
@@ -88,16 +135,7 @@ class BlockDiagGroupedConv(nn.Module):
         dense = jnp.einsum("hwigo,pg->hwpigo", k5, eye).reshape(
             kh, kw, in_ch, self.features
         )
-
-        dtype = self.dtype or x.dtype
-        return jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            dense.astype(dtype),
-            window_strides=self.strides,
-            padding=self.padding,
-            rhs_dilation=self.kernel_dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        return conv(x.astype(dtype), dense)
 
 
 class ShiftedDepthwiseConv(nn.Module):
