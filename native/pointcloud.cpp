@@ -47,7 +47,8 @@ extern "C" {
 // out:         (num_fields, num_points) float32, row-major per field
 // skip_nans:   drop points with any non-finite field value
 //
-// Returns the number of points written (== num_points unless skip_nans).
+// Returns the number of points written (== num_points unless skip_nans),
+// or -1 when num_fields exceeds the fixed per-point buffer (16 fields).
 int64_t decode_pointcloud2(const uint8_t* data,
                            int64_t num_points,
                            int64_t point_step,
@@ -56,6 +57,7 @@ int64_t decode_pointcloud2(const uint8_t* data,
                            int64_t num_fields,
                            float* out,
                            int32_t skip_nans) {
+  if (num_fields < 0 || num_fields > 16) return -1;
   int64_t written = 0;
   for (int64_t i = 0; i < num_points; ++i) {
     const uint8_t* point = data + i * point_step;
@@ -88,6 +90,7 @@ int64_t decode_and_bucket(const uint8_t* data,
                           float* out,      // (num_fields, bucket), pre-zeroed by caller or here
                           uint8_t* valid,  // (bucket,)
                           int32_t skip_nans) {
+  if (num_fields < 0 || num_fields > 16) return -1;
   std::memset(out, 0, sizeof(float) * num_fields * bucket);
   std::memset(valid, 0, bucket);
   int64_t written = 0;

@@ -9,8 +9,6 @@ from vision_semantic_segmentation_tpu.ops import (
     apply_color_map,
     box_filter_3x3,
     colors_to_labels,
-    masked_scatter_add_channel,
-    masked_scatter_add_rows,
     remap_bilinear,
     resize_align_corners,
     resize_area,
@@ -98,48 +96,6 @@ class TestColormap:
             config = json.load(f)
         colors = np.array([l["color"] for l in config["labels"]], dtype=np.uint8)
         np.testing.assert_array_equal(MAPILLARY_19_PALETTE, colors)
-
-
-class TestScatter:
-    def test_masked_rows(self):
-        grid = jnp.zeros((4, 5, 3))
-        cell_idx = jnp.asarray([0, 6, 6, 19, 7])
-        rows = jnp.asarray(np.tile(np.array([[1.0, 2.0, 3.0]]), (5, 1)))
-        valid = jnp.asarray([True, True, True, True, False])
-        out = np.asarray(masked_scatter_add_rows(grid, cell_idx, rows, valid))
-        np.testing.assert_allclose(out[0, 0], [1, 2, 3])
-        np.testing.assert_allclose(out[1, 1], [2, 4, 6])  # two hits
-        np.testing.assert_allclose(out[3, 4], [1, 2, 3])
-        np.testing.assert_allclose(out[1, 2], [0, 0, 0])  # masked out
-        assert np.asarray(out).sum() == pytest.approx(4 * 6)
-
-    def test_channel_boost(self):
-        grid = jnp.zeros((2, 2, 5))
-        out = np.asarray(
-            masked_scatter_add_channel(
-                grid,
-                jnp.asarray([1, 1, 2]),
-                2,
-                jnp.asarray([2.0, 2.0, 2.0]),
-                jnp.asarray([True, True, False]),
-            )
-        )
-        assert out[0, 1, 2] == 4.0
-        assert out[1, 0, 2] == 0.0
-
-    def test_matches_numpy_dense(self, rng):
-        h, w, c = 30, 40, 5
-        n = 1000
-        grid = np.zeros((h, w, c), np.float32)
-        cells = rng.integers(0, h * w, n)
-        rows = rng.standard_normal((n, c)).astype(np.float32)
-        valid = rng.random(n) > 0.3
-        ref = grid.copy()
-        np.add.at(ref.reshape(-1, c), cells[valid], rows[valid])
-        ours = np.asarray(
-            masked_scatter_add_rows(jnp.asarray(grid), jnp.asarray(cells), jnp.asarray(rows), jnp.asarray(valid))
-        )
-        np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
 class TestRemap:

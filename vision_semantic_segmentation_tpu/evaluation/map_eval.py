@@ -66,8 +66,13 @@ class MapEvaluator:
         shift_h: int = 0,
         shift_w: int = 0,
         logger=None,
-        cache: bool = True,
+        cache: bool = False,
     ):
+        """Args:
+            cache: write ``truth.npy``/``mask.npy`` into the ground-truth
+                dir to skip the jpg decode+downsample on reload.  OFF by
+                default — mutating the GT directory is an opt-in.
+        """
         import cv2
 
         truth_path = osp.join(ground_truth_dir, "truth.npy")
@@ -148,6 +153,8 @@ class MapEvaluator:
         import cv2
 
         files = sorted(f for f in os.listdir(dir_path) if f.endswith(".png"))
+        if not files:
+            raise FileNotFoundError(f"no .png maps to score under {dir_path!r}")
         ious, misses = [], []
         for name in files:
             bgr = cv2.imread(osp.join(dir_path, name))

@@ -64,7 +64,18 @@ class SemanticSegmentation:
 
         self._mean = jnp.asarray(IMAGENET_MEAN)
         self._std = jnp.asarray(IMAGENET_STD)
-        self._forward_cache: Dict[Tuple[int, int, bool], callable] = {}
+        # LRU-bounded per-shape compile cache: streaming variable-resolution
+        # inputs would otherwise accumulate compiled programs without limit
+        # (SURVEY.md section 7 "fixed input buckets").  Each entry is its own
+        # jit fn, so eviction releases the compiled executable.
+        from collections import OrderedDict
+
+        self._max_shapes = int(
+            cfg.MODEL.MAX_SHAPE_CACHE if "MAX_SHAPE_CACHE" in cfg.MODEL else 8
+        )
+        self._forward_cache: "OrderedDict[Tuple[int, int, bool], callable]" = (
+            OrderedDict()
+        )
 
     # -- compiled paths ------------------------------------------------------
     def _forward(self, upsample_pred: bool):
@@ -92,7 +103,11 @@ class SemanticSegmentation:
         """
         key = (image.shape[0], image.shape[1], upsample_pred)
         if key not in self._forward_cache:
+            while len(self._forward_cache) >= self._max_shapes:
+                self._forward_cache.popitem(last=False)
             self._forward_cache[key] = self._forward(upsample_pred)
+        else:
+            self._forward_cache.move_to_end(key)
         preds = self._forward_cache[key](self.variables, jnp.asarray(image))
         return np.asarray(preds[0] if preds.shape[0] == 1 else preds)
 

@@ -7,7 +7,6 @@ from .colormap import (
     load_palette_from_dataset_config,
 )
 from .warp import remap_bilinear, undistort
-from .scatter import bincount_2d, masked_scatter_add_channel, masked_scatter_add_rows
 
 __all__ = [
     "resize_align_corners",
@@ -21,7 +20,4 @@ __all__ = [
     "load_palette_from_dataset_config",
     "remap_bilinear",
     "undistort",
-    "bincount_2d",
-    "masked_scatter_add_channel",
-    "masked_scatter_add_rows",
 ]

@@ -143,7 +143,11 @@ def make_multi_train_step(
     The input batch dict must carry a leading ``steps`` axis
     (e.g. image (K, B, H, W, 3)); each scan iteration consumes one slice,
     exactly equivalent to K sequential :func:`make_train_step` calls.
-    Returns (state, {"loss": (K,), "confusion": summed (C, C)}).
+    Returns (state, {"loss": (K,), "confusion": (K, C, C)}).  The
+    confusion stack is deliberately NOT summed in-jit: each per-step
+    matrix is exact in float32 (counts <= B*H*W < 2^24), but a K-step sum
+    of a dominant class can exceed the 2^24 exact-integer range — fold the
+    stack into the host-side float64 accumulator instead.
     """
     step = make_train_step(
         num_classes,
@@ -159,7 +163,7 @@ def make_multi_train_step(
             return s, m
 
         state, ms = jax.lax.scan(body, state, batches)
-        return state, {"loss": ms["loss"], "confusion": ms["confusion"].sum(0)}
+        return state, ms
 
     return multi_step
 
@@ -257,7 +261,9 @@ def make_per_device_bn_train_step(
                 return s, m
 
             state, ms = jax.lax.scan(body, state, batches)
-            return state, {"loss": ms["loss"], "confusion": ms["confusion"].sum(0)}
+            # per-step (K, C, C) confusion stack: summed on host in float64
+            # (a K-step f32 sum can exceed the 2^24 exact-count range)
+            return state, ms
 
         body_fn, batch_spec = _multi_body, P(None, axis)
     else:

@@ -98,8 +98,10 @@ def decode_pointcloud2(
     Args mirror the message schema: byte ``offsets`` and PointField
     ``datatypes`` per requested field (e.g. x, y, z, intensity).
     """
-    lib = _load_library()
     num_fields = len(offsets)
+    if num_fields > 16:
+        raise ValueError(f"at most 16 fields supported, got {num_fields}")
+    lib = _load_library()
     if lib is None:
         return _numpy_decode(data, num_points, point_step, offsets, datatypes, skip_nans)
 
@@ -134,8 +136,10 @@ def decode_and_bucket(
     Returns ((num_fields, bucket) float32, (bucket,) bool validity) — the
     exact inputs of the fused mapping step.
     """
-    lib = _load_library()
     num_fields = len(offsets)
+    if num_fields > 16:
+        raise ValueError(f"at most 16 fields supported, got {num_fields}")
+    lib = _load_library()
     if lib is None:
         from ..mapping.engine import pad_points
 

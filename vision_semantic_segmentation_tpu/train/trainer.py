@@ -63,10 +63,9 @@ class Trainer:
                 env-var rendezvous for (ref distributed_train.py:324-337).
         """
         if distributed and jax.process_count() == 1:
-            try:
-                jax.distributed.initialize()
-            except (ValueError, RuntimeError):
-                pass  # single-process run without coordinator config
+            # Fail loudly: a misconfigured multi-host launch must not
+            # silently degrade to single-host training.
+            jax.distributed.initialize()
         self.cfg = cfg
         self.output_dir = output_dir
         self.logger = logger
@@ -189,6 +188,31 @@ class Trainer:
             self.best_metric = float(extras["best_metric"])
         return extras
 
+    def _pad_batch(self, batch: Dict) -> Dict:
+        """Pad a batch to a multiple of the mesh's device count.
+
+        Padding samples are duplicates of the first sample with all-ignore
+        (255) labels: zero loss weight and zero confusion counts by
+        construction, so metrics are unchanged — only the shapes divide.
+        (With DROP_LAST=False / in validation, the final partial batch need
+        not split over the 'data' axis otherwise.)
+        """
+        n_dev = self.mesh.devices.size
+        b = batch["image"].shape[0]
+        if b % n_dev == 0:
+            return batch
+        pad = n_dev - b % n_dev
+        image = np.concatenate(
+            [batch["image"], np.repeat(batch["image"][:1], pad, axis=0)]
+        )
+        label = np.concatenate(
+            [
+                batch["label"],
+                np.full((pad, *batch["label"].shape[1:]), 255, np.int32),
+            ]
+        )
+        return {"image": image, "label": label}
+
     # -- epoch loops (ref train.py:56-161) -----------------------------------
     def _dispatch_group(self, group):
         """Run a list of host batches: fused K-step scan when it fills the
@@ -201,11 +225,17 @@ class Trainer:
             })
             self.state, metrics = self._multi_train_step(self.state, stacked)
             losses = [float(v) for v in np.asarray(metrics["loss"])]
-            self.train_metric.merge(np.asarray(metrics["confusion"]))
+            # (K, C, C) per-step stack: fold in float64 on host — each step's
+            # counts are f32-exact, a K-step f32 sum need not be
+            self.train_metric.merge(
+                np.asarray(metrics["confusion"], np.float64).sum(axis=0)
+            )
             return losses
         losses = []
         for b in group:
-            sharded = shard_batch(self.mesh, b)
+            # pad indivisible remainder batches (loss/metrics unchanged;
+            # only train-mode BN statistics see the duplicated samples)
+            sharded = shard_batch(self.mesh, self._pad_batch(b))
             self.state, metrics = self._train_step(self.state, sharded)
             losses.append(float(metrics["loss"]))
             self.train_metric.merge(np.asarray(metrics["confusion"]))
@@ -267,10 +297,10 @@ class Trainer:
         self.val_metric.reset()
         meters = MeterLogger()
         for batch in dataloader:
-            batch = shard_batch(self.mesh, {
+            batch = shard_batch(self.mesh, self._pad_batch({
                 "image": np.asarray(batch["image"], np.float32),
                 "label": np.asarray(batch["label"], np.int32),
-            })
+            }))
             metrics = self._eval_step(self.state, batch)
             meters.update(loss=float(metrics["loss"]))
             self.val_metric.merge(np.asarray(metrics["confusion"]))
