@@ -178,6 +178,88 @@ class TestNodePipelineE2E:
         assert bus.published_counts["/semantic_local_map"] == 1
 
 
+class TestPlanarNodeWiring:
+    """The planar fallback is driven by the synced pose (ref mapping.py:446-488),
+    not a fixed identity transform."""
+
+    def _run_node(self, cfg, poses, img, tf_tree=None):
+        from vision_semantic_segmentation_tpu.mapping import SemanticMappingEngine
+
+        bus = TopicBus()
+        node = MappingNode(
+            cfg, bus, engine=SemanticMappingEngine(cfg, evidence=np.eye(5)),
+            tf_tree=tf_tree,
+        )
+        for i, (position, quaternion) in enumerate(poses):
+            bus.publish("/current_pose", (position, quaternion), stamp=float(i))
+            bus.publish("/camera1/semantic", img, stamp=float(i), frame_id="camera1")
+        return node
+
+    def test_moving_pose_sequence_matches_engine(self, rng, tmp_path):
+        from scipy.spatial.transform import Rotation
+
+        from vision_semantic_segmentation_tpu.geometry.transforms import pose_to_matrix
+        from vision_semantic_segmentation_tpu.mapping import SemanticMappingEngine
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.DEPTH_METHOD = "planar"
+        # ego-local grid in front of the camera (planar mode is ego-centric)
+        cfg.MAPPING.BOUNDARY = [[0, 40], [-20, 20]]
+
+        # structured image (stripes of two palette colors): a constant image
+        # would be invariant to the warp and hide a wrong transform
+        img = np.zeros((1440, 1920, 3), np.uint8)
+        img[:] = np.array(cfg.LABEL_COLORS[0], np.uint8)
+        img[:, ::3] = np.array(cfg.LABEL_COLORS[1], np.uint8)
+        poses = []
+        for i in range(3):
+            q = Rotation.from_euler("z", 0.2 * i).as_quat()
+            poses.append((np.array([1.0 * i, 0.5 * i, 0.0]), q))
+
+        node = self._run_node(cfg, poses, img)
+        assert node.grid is not None
+
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        grid = engine.init_grid()
+        for position, quaternion in poses:
+            T_b2o = np.asarray(pose_to_matrix(
+                np.asarray(position, np.float64),
+                np.asarray(quaternion, np.float64)), np.float64)
+            grid = engine.update_map_planar(grid, img, np.linalg.inv(T_b2o))
+        np.testing.assert_allclose(np.asarray(node.grid), np.asarray(grid), atol=1e-5)
+
+        # a moving pose must actually change the warp vs the identity wiring
+        node_id = self._run_node(cfg, [poses[1]], img)
+        grid_id = engine.update_map_planar(engine.init_grid(), img, np.eye(4))
+        assert not np.allclose(np.asarray(node_id.grid), np.asarray(grid_id), atol=1e-5)
+
+    def test_local_map_frame_from_tf_tree(self, rng, tmp_path):
+        from vision_semantic_segmentation_tpu.geometry.transforms import pose_to_matrix
+        from vision_semantic_segmentation_tpu.mapping import SemanticMappingEngine
+        from vision_semantic_segmentation_tpu.utils.ros_compat import TransformTree
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.DEPTH_METHOD = "planar"
+        img = np.zeros((1440, 1920, 3), np.uint8)
+        img[:] = np.array(cfg.LABEL_COLORS[1], np.uint8)
+
+        T_local = np.eye(4)
+        T_local[:3, 3] = [3.0, -2.0, 0.0]
+        tree = TransformTree()
+        tree.set_transform("world", "local_map", T_local)
+
+        pose = (np.array([1.0, 2.0, 0.0]), np.array([0.0, 0.0, 0.0, 1.0]))
+        node = self._run_node(cfg, [pose], img, tf_tree=tree)
+
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        T_b2o = np.asarray(pose_to_matrix(
+            np.asarray(pose[0], np.float64),
+            np.asarray(pose[1], np.float64)), np.float64)
+        want = engine.update_map_planar(
+            engine.init_grid(), img, np.linalg.inv(T_b2o) @ T_local)
+        np.testing.assert_allclose(np.asarray(node.grid), np.asarray(want), atol=1e-5)
+
+
 class TestHullBackProjection:
     def test_plane_hull_markers(self, rng, tmp_path):
         """Convex hulls back-project onto the estimated ground plane

@@ -139,12 +139,21 @@ class SegmentationNode:
 
 
 class MappingNode:
-    """Semantic image + pose + cloud -> global BEV map (ref mapping.py:39-355)."""
+    """Semantic image + pose + cloud -> global BEV map (ref mapping.py:39-355).
+
+    Args:
+        tf_tree: optional TransformTree carrying a ``local_map`` frame (the
+            reference's TF graph, ref mapping.py:454-458).  The planar
+            fallback derives the local_map -> base_link transform from it
+            and the synced pose; without one, local_map == the world/origin
+            frame.
+    """
 
     def __init__(self, cfg, bus: TopicBus, engine: Optional[SemanticMappingEngine] = None,
-                 record_inputs: bool = False):
+                 record_inputs: bool = False, tf_tree=None):
         self.cfg = cfg
         self.bus = bus
+        self.tf_tree = tf_tree
         self.engine = engine or SemanticMappingEngine(cfg)
         self.grid = None
         self.depth_method = cfg.MAPPING.DEPTH_METHOD
@@ -244,14 +253,37 @@ class MappingNode:
                 stamp=msg.stamp, frame_id=pcd_msg.frame_id,
             )
         else:
-            # planar fallback (ref :321): ego-centric ground-plane warp
-            T_local_to_base = np.eye(4)
+            # planar fallback (ref :321,446-488): ground-plane homography
+            # driven by the synced pose — the reference's TF lookup of
+            # local_map -> base_link at pose_time (ref :454-458), computed
+            # here as inv(T_base_to_origin(pose)) @ T_local_to_origin
             self.grid = self.engine.update_map_planar(
-                self.grid, np.asarray(msg.data), T_local_to_base, camera=msg.frame_id
+                self.grid, np.asarray(msg.data),
+                self._planar_transform(position, quaternion),
+                camera=msg.frame_id,
             )
 
         if self.save_map_to_file:
             self.finalize()
+
+    def _planar_transform(self, position, quaternion) -> np.ndarray:
+        """local_map -> base_link from the synced pose (ref mapping.py:454-458)."""
+        from ..geometry.transforms import pose_to_matrix
+
+        T_base_to_origin = np.asarray(
+            pose_to_matrix(
+                np.asarray(position, np.float64),
+                np.asarray(quaternion, np.float64),
+            ),
+            dtype=np.float64,
+        )
+        T_local_to_origin = np.eye(4)
+        if self.tf_tree is not None:
+            try:
+                T_local_to_origin = self.tf_tree.lookup("world", "local_map")
+            except LookupError:
+                pass  # no local_map broadcast yet: anchored at the origin
+        return np.linalg.inv(T_base_to_origin) @ T_local_to_origin
 
     # -- finalization (ref mapping.py:323-355) -------------------------------
     def finalize(self) -> np.ndarray:
