@@ -3,9 +3,10 @@
 The reference records every mapping input to an ``input_list.hkl`` hickle
 file ({pcd, pcd_frame_id, semantic_image, pose} per frame, ref
 mapping.py:309-326) and replays it bit-identically offline
-(mapping_replay.py:146-211).  hickle/h5py are absent in this image, so the
-native format here is ``.npz`` (one archive per sequence, per-frame keys);
-pickled reference dumps load through the same dataclass when present.
+(mapping_replay.py:146-211).  The native format here is ``.npz`` (one
+archive per sequence, per-frame keys); reference ``.hkl`` dumps load through
+:mod:`.hickle_io` (a hickle-schema reader over h5py — hickle itself is not
+installed) and pickled dumps through the same dataclass.
 """
 from __future__ import annotations
 
@@ -77,6 +78,10 @@ def _pose_to_arrays(pose) -> tuple[np.ndarray, np.ndarray]:
                 np.array([o["x"], o["y"], o["z"], o["w"]]),
             )
         return np.asarray(p, dtype=np.float64), np.asarray(o, dtype=np.float64)
+    if isinstance(pose, np.ndarray) and pose.shape == (7,):
+        return pose[:3].astype(np.float64), pose[3:].astype(np.float64)
+    if hasattr(pose, "pose"):  # PoseStamped
+        pose = pose.pose
     p, o = pose.position, pose.orientation
     return (
         np.array([p.x, p.y, p.z]),
@@ -85,20 +90,14 @@ def _pose_to_arrays(pose) -> tuple[np.ndarray, np.ndarray]:
 
 
 def load_reference_dump(path: str) -> List[FrameRecord]:
-    """Load a reference-format input_list (pickle; hickle if installed).
+    """Load a reference-format input_list (.hkl via hickle_io, or pickle).
 
     Accepts the reference's list-of-dicts layout (ref mapping.py:309-313).
     """
     if path.endswith(".hkl"):
-        try:
-            import hickle  # optional dependency, absent in this image
-        except ImportError as e:
-            raise ImportError(
-                "hickle is not installed; convert the .hkl to .npz elsewhere "
-                "or provide a pickle dump"
-            ) from e
-        with open(path, "rb") as f:
-            input_list = hickle.load(f)
+        from .hickle_io import load_hickle
+
+        input_list = load_hickle(path)
     else:
         with open(path, "rb") as f:
             input_list = pickle.load(f)
