@@ -1,34 +1,136 @@
 """End-to-end throughput benchmark on real TPU hardware.
 
 Measures the production replay fast path at the reference's deployed
-configuration: 1440x1920 camera frames -> DeepLabV3+ (ResNeXt50-32x4d,
-output stride 8, bf16 conv path) -> argmax -> label upsample -> LiDAR
+configuration: 1440x1920 camera frames -> undistort -> DeepLabV3+
+(ResNeXt50-32x4d, output stride 8, bf16 conv path) -> argmax -> LiDAR
 projection + Bayesian BEV grid fusion (2^17-point bucket), with a full
 window of frames fused in ONE device dispatch (lax.scan) and the grid
-HBM-resident throughout (runtime/pipeline.py).  Frame windows are staged
-to device HBM before the timed loop: this dev environment reaches the TPU
-through a tunnel whose host->device path moves ~1-20 MB/s (vs multi-GB/s
-PCIe on a real TPU host), so including staging would benchmark the tunnel,
-not the framework.  The timed loop ends with a host readback barrier
-(block_until_ready does not force completion under this runtime), so the
-number is sustained device-pipeline frames/s.
+HBM-resident throughout (runtime/pipeline.py).
+
+Honesty notes:
+  * Every window holds DIFFERENT frames (images and point clouds are
+    generated on-device per window with distinct PRNG keys) — no
+    re-dispatching one cached window.
+  * Camera undistortion is ON: this is the reference's full per-frame path
+    (ref vision_semantic_segmentation_node.py:85-87).
+  * Frame data is generated in HBM rather than staged from host: this dev
+    environment reaches the TPU through a tunnel whose host->device path
+    moves ~1-20 MB/s (vs multi-GB/s PCIe on a real TPU host), so staging
+    would benchmark the tunnel, not the framework.
+  * The timed loop ends with a host readback barrier (block_until_ready
+    does not force completion under this runtime).
+
+Reported alongside frames/s:
+  * ``mfu`` — NOMINAL model FLOPs (grouped convs counted at cin/groups
+    cost, i.e. the algorithmic cost, not the block-diagonal dense cost the
+    MXU actually executes) / measured step time / device peak.
+  * ``forward_ms`` / ``fusion_ms`` — per-stage device times measured with
+    separately-jitted stage programs on identical shapes.
 
 Baseline: the reference pipeline needs the rosbag slowed to 0.1x real time
 to drop zero frames of the 12 Hz camera on a CUDA workstation
 (ref README.md:194, node:236) => ~1.2 frames/s sustained end-to-end.
 ``vs_baseline`` is measured frames/s divided by that 1.2 fps anchor.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations
 
 import json
+import math
 import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 1.2
+
+# bf16 peak TFLOP/s per chip by device kind (public spec sheets)
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def nominal_model_flops(
+    h: int,
+    w: int,
+    num_classes: int = 19,
+    groups: int = 32,
+    base_width: int = 4,
+) -> int:
+    """Nominal matmul FLOPs of DeepLabV3+ / ResNeXt50-32x4d at output
+    stride 8 for one (h, w) frame.
+
+    Grouped/depthwise convs are counted at their algorithmic cost
+    (2*HWO*cout*cin/groups*k^2); elementwise/BN work is excluded, per MFU
+    convention.  Mirrors the architecture in models/{resnet,aspp,decoder}.py
+    (ref models/backbone/resnet.py:124-127, aspp.py:51-93, decoder.py:27-41).
+    """
+    total = 0
+
+    def conv(hh, ww, cin, cout, k, stride=1, g=1, pad_same=True):
+        nonlocal total
+        if pad_same:
+            ho, wo = math.ceil(hh / stride), math.ceil(ww / stride)
+        else:  # valid padding (decoder refine convs, torch default pad=0)
+            ho, wo = (hh - k + 1) // stride, (ww - k + 1) // stride
+        total += 2 * ho * wo * cout * (cin // g) * k * k
+        return ho, wo
+
+    # stem + maxpool
+    h2, w2 = conv(h, w, 3, 64, 7, stride=2)
+    h4, w4 = math.ceil(h2 / 2), math.ceil(w2 / 2)
+
+    # resnext50_32x4d, os8: layer2 strides, layer3/4 dilate (FLOPs unchanged)
+    cin, hw = 64, (h4, w4)
+    for planes, blocks, stride in [(64, 3, 1), (128, 4, 2), (256, 6, 1), (512, 3, 1)]:
+        width = int(planes * base_width / 64) * groups
+        cout = planes * 4
+        for b in range(blocks):
+            s = stride if b == 0 else 1
+            conv(hw[0], hw[1], cin, width, 1)
+            nhw = conv(hw[0], hw[1], width, width, 3, stride=s, g=groups)
+            conv(nhw[0], nhw[1], width, cout, 1)
+            if b == 0:
+                conv(hw[0], hw[1], cin, cout, 1, stride=s)  # downsample proj
+            hw, cin = nhw, cout
+    h8, w8 = hw
+
+    # ASPP: 1x1 branch + 3 separable atrous branches + pooled 1x1 + proj
+    conv(h8, w8, 2048, 256, 1)
+    for _ in range(3):
+        conv(h8, w8, 2048, 2048, 3, g=2048)   # depthwise
+        conv(h8, w8, 2048, 256, 1)            # pointwise
+    total += 2 * 2048 * 256                   # global-pool branch 1x1
+    conv(h8, w8, 5 * 256, 256, 1)             # concat projection
+
+    # decoder at the low-level (os4) resolution; refine convs are valid-pad
+    conv(h4, w4, 256, 48, 1)
+    dh, dw, dc = h4, w4, 256 + 48
+    for ch in (256, 256):
+        conv(dh, dw, dc, dc, 3, g=dc, pad_same=False)  # depthwise
+        dh, dw = dh - 2, dw - 2
+        conv(dh, dw, dc, ch, 1)                        # pointwise
+        dc = ch
+    conv(dh, dw, dc, num_classes, 1)                   # classifier
+    return total
+
+
+def _time_best(fn, readback, repeats=3):
+    """Best-of-N wall time of fn() with a host readback barrier."""
+    best = float("inf")
+    for _ in range(repeats):
+        start = time.perf_counter()
+        out = fn()
+        readback(out)
+        best = min(best, time.perf_counter() - start)
+    return best
 
 
 def main(quick: bool = False):
@@ -44,7 +146,6 @@ def main(quick: bool = False):
     from vision_semantic_segmentation_tpu.mapping import (
         PCD_ORIGIN_OFFSET,
         SemanticMappingEngine,
-        pad_points,
     )
     from vision_semantic_segmentation_tpu.models import deeplab_from_cfg
     from vision_semantic_segmentation_tpu.runtime.pipeline import FusedFramePipeline
@@ -55,69 +156,145 @@ def main(quick: bool = False):
     img_h, img_w = (512, 768) if quick else (1440, 1920)
     window = 4 if quick else 16   # frames fused per dispatch
     n_windows = 2 if quick else 4
-    rng = np.random.default_rng(0)
+    bucket = cfg.MAPPING.POINT_BUCKET
 
     model = deeplab_from_cfg(net_cfg, dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, img_h, img_w, 3), jnp.float32), train=False
     )
 
+    # undistortion maps are defined by the 1920x1440 calibration; quick
+    # mode's reduced frames skip it (full mode = the honest production path)
+    undistort = not quick
     engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
-    pipeline = FusedFramePipeline(cfg, variables, engine=engine)
+    pipeline = FusedFramePipeline(cfg, variables, engine=engine, undistort=undistort)
     run = pipeline.build_sequence_runner(image_hw=(img_h, img_w))
 
-    # synthetic frame window: realistic point count in the mapped region
+    # -- on-device window generation (distinct frames per window) -----------
     x0m = 100 - PCD_ORIGIN_OFFSET[0]
     y0m = 800 - PCD_ORIGIN_OFFSET[1]
-    bucket = cfg.MAPPING.POINT_BUCKET
-    images, pcds, valids, positions, quats = [], [], [], [], []
-    for _ in range(window):
-        images.append((rng.random((img_h, img_w, 3)) * 255).astype(np.uint8))
-        pts = np.vstack(
-            [
-                rng.uniform(x0m, x0m + 40, 100_000),
-                rng.uniform(y0m, y0m + 40, 100_000),
-                rng.uniform(-1, 0.5, 100_000),
-                rng.uniform(0, 20, 100_000),
-            ]
-        ).astype(np.float32)
-        pcd, valid = pad_points(pts, bucket)
-        pcds.append(pcd)
-        valids.append(valid)
-        positions.append(np.asarray([x0m - 6.0, y0m + 20.0, 0.0], np.float32))
-        quats.append(np.asarray([0, 0, 0, 1.0], np.float32))
-    host_frames = {
-        "image": np.stack(images),
-        "pcd": np.stack(pcds),
-        "valid": np.stack(valids),
-        "position": np.stack(positions),
-        "quaternion": np.stack(quats),
-    }
+    position = np.tile(np.asarray([x0m - 6.0, y0m + 20.0, 0.0], np.float32), (window, 1))
+    quaternion = np.tile(np.asarray([0, 0, 0, 1.0], np.float32), (window, 1))
+
+    @jax.jit
+    def gen_window(key):
+        k_img, k_xy, k_zi = jax.random.split(key, 3)
+        images = jax.random.randint(
+            k_img, (window, img_h, img_w, 3), 0, 256, jnp.uint8
+        )
+        xy = jax.random.uniform(
+            k_xy, (window, 2, bucket),
+            minval=jnp.asarray([[x0m], [y0m]], jnp.float32),
+            maxval=jnp.asarray([[x0m + 40], [y0m + 40]], jnp.float32),
+        )
+        zi = jax.random.uniform(
+            k_zi, (window, 2, bucket),
+            minval=jnp.asarray([[-1.0], [0.0]], jnp.float32),
+            maxval=jnp.asarray([[0.5], [20.0]], jnp.float32),
+        )
+        pcd = jnp.concatenate([xy, zi], axis=1)  # (window, 4, bucket)
+        valid = jnp.ones((window, bucket), bool)
+        return {
+            "image": images,
+            "pcd": pcd,
+            "valid": valid,
+            "position": jnp.asarray(position),
+            "quaternion": jnp.asarray(quaternion),
+        }
+
+    windows = [gen_window(jax.random.PRNGKey(100 + i)) for i in range(n_windows)]
+    jax.block_until_ready(windows)
 
     grid = pipeline.init_grid()
-
-    # pre-stage the window in HBM (see module docstring), then warm up
-    frames_dev = {k: jnp.asarray(v) for k, v in host_frames.items()}
-    jax.block_until_ready(frames_dev)
-    grid = run(grid, frames_dev)
+    grid = run(grid, windows[0])          # warm-up / compile
     float(jnp.sum(grid[:2, :2]))
 
-    # best-of-3: the shared dev-TPU tunnel has large run-to-run variance
-    best = 0.0
+    # NOTE: the runner donates the grid buffer — always thread the returned
+    # grid forward; re-passing a donated array is a runtime error.
+    elapsed = float("inf")
     for _ in range(3):
         start = time.perf_counter()
-        for _ in range(n_windows):
-            grid = run(grid, frames_dev)
-        float(jnp.sum(grid[:2, :2]))  # readback barrier
-        elapsed = time.perf_counter() - start
-        best = max(best, (window * n_windows) / elapsed)
+        for frames in windows:
+            grid = run(grid, frames)
+        float(jnp.sum(grid[:2, :2]))      # readback barrier
+        elapsed = min(elapsed, time.perf_counter() - start)
+    fps = (window * n_windows) / elapsed
+    step_ms = 1000.0 / fps
 
-    fps = best
+    # -- stage breakdown (separately-jitted programs, same shapes) ----------
+    cam = "camera1"
+    undistort_map = pipeline._undistort_maps.get(cam)
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    table = pipeline.channel_table
+
+    @jax.jit
+    def forward_stage(variables, frame_u8):
+        x = frame_u8
+        if undistort_map is not None:
+            from vision_semantic_segmentation_tpu.ops.warp import undistort
+
+            x = undistort(x, undistort_map)
+        xf = x.astype(jnp.float32) / 255.0
+        xf = (xf - mean) / std
+        logits = model.apply(variables, xf[None], train=False, upsample_pred=False)
+        net_labels = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
+        return table[jnp.clip(net_labels, 0, table.shape[0] - 1)]
+
+    frame0 = windows[0]["image"][0]
+    channel_img = forward_stage(pipeline.variables, frame0)
+    jax.block_until_ready(channel_img)
+    t_forward = _time_best(
+        lambda: forward_stage(pipeline.variables, frame0),
+        lambda out: float(jnp.sum(out[:2, :2])),
+    )
+
+    pointwise = engine._build_pointwise(
+        cam, velodyne_frame=False, image_is_class_id=True, image_full_hw=(img_h, img_w)
+    )
+    apply_update = engine._build_update()
+
+    @jax.jit
+    def fusion_stage(grid, pcd, valid, channel_img, position, quaternion):
+        cell, cls, vis, upd, _ = pointwise(pcd, valid, channel_img, position, quaternion)
+        return apply_update(grid, cell, cls, pcd[3], upd)
+
+    fgrid = pipeline.init_grid()
+    pcd0 = windows[0]["pcd"][0]
+    valid0 = windows[0]["valid"][0]
+    pos0, quat0 = jnp.asarray(position[0]), jnp.asarray(quaternion[0])
+    fgrid = fusion_stage(fgrid, pcd0, valid0, channel_img, pos0, quat0)
+    jax.block_until_ready(fgrid)
+    t_fusion = _time_best(
+        lambda: fusion_stage(fgrid, pcd0, valid0, channel_img, pos0, quat0),
+        lambda out: float(jnp.sum(out[:2, :2])),
+    )
+
+    # -- MFU -----------------------------------------------------------------
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_TFLOPS.get(kind)
+    peak_assumed = peak is None
+    if peak is None:
+        peak = 197.0  # assume v5e-class if unknown
+    flops = nominal_model_flops(img_h, img_w, net_cfg.DATASET.NUM_CLASSES)
+    mfu = (flops * fps) / (peak * 1e12)
+
+    stages = "undistort_seg_fusion" if undistort else "seg_fusion"
     result = {
-        "metric": f"e2e_frames_per_sec_{img_h}x{img_w}_seg_plus_fusion",
+        "metric": f"e2e_frames_per_sec_{img_h}x{img_w}_{stages}",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "step_ms": round(step_ms, 2),
+        "forward_ms": round(t_forward * 1000.0, 2),
+        "fusion_ms": round(t_fusion * 1000.0, 2),
+        "mfu": round(mfu, 4),
+        "nominal_gflops_per_frame": round(flops / 1e9, 1),
+        "device_kind": kind,
+        "peak_tflops": peak,
+        "peak_assumed": peak_assumed,
+        "undistort": undistort,
+        "distinct_windows": n_windows,
     }
     print(json.dumps(result))
 

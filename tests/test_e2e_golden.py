@@ -1,0 +1,419 @@
+"""Synthetic golden-bag end-to-end parity.
+
+The reference's real integration test is: drive a recorded bag through both
+nodes, write ``global_map.png``, and score IoU against annotated BEV ground
+truth (ref README.md:190-196, test/test_semantic_mapping.py:117-161).  No
+reference bag or pretrained weights exist in this environment, so this module
+builds the next-best thing from first principles:
+
+1. a synthetic urban scene (road / crosswalk / lane regions) with *exact*
+   geometric ground truth, written in the evaluator's ``bev-5cm-*.jpg``
+   contract;
+2. camera frames ray-cast through the real camera-1 calibration and the
+   vehicle extrinsics, plus a cell-center point map — a fully synthetic bag;
+3. a real DeepLabV3+ (resnet18-os16) trained in-process to segment the
+   scene's input colors, saved as a ``.npz`` checkpoint;
+4. the full CLI ``pipeline`` path (segmentation node -> topic bus -> mapping
+   node -> finalize) over that bag, scored with MapEvaluator at pinned IoU
+   thresholds;
+5. a float64 host reference of the whole post-network pipeline (projection,
+   grid update, box filter, rendering) compared cell-for-cell against the
+   device map.
+"""
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+from vision_semantic_segmentation_tpu.geometry.camera import camera_setup_1
+from vision_semantic_segmentation_tpu.geometry.transforms import pose_to_matrix
+from vision_semantic_segmentation_tpu.mapping import PCD_ORIGIN_OFFSET
+from vision_semantic_segmentation_tpu.mapping.engine import velodyne_to_baselink
+from vision_semantic_segmentation_tpu.runtime.io import FrameRecord, save_frames
+
+# --------------------------------------------------------------------------
+# Scene definition (map coords = world + PCD_ORIGIN_OFFSET, meters).
+# All region edges are multiples of 0.4 m from the boundary minimum so they
+# align with both the 0.2 m grid cells and the 8-px JPEG blocks of the 5 cm
+# ground-truth images (exact ground truth survives JPEG + 4x downsample).
+# --------------------------------------------------------------------------
+RES = 0.2
+BOUNDARY = [[100.0, 140.0], [800.0, 840.0]]
+GRID_HW = (200, 200)
+
+# scene class ids: 0 background, 1 road, 2 crosswalk, 3 lane, 4 sky
+BG, ROAD, CROSS, LANE, SKY = 0, 1, 2, 3, 4
+# distinct *input* colors the network learns to segment
+INPUT_COLORS = np.array(
+    [[60, 60, 60], [105, 105, 105], [200, 60, 60], [240, 240, 80], [70, 130, 180]],
+    dtype=np.uint8,
+)
+# network class ids (mapillary-19) per scene class: cfg.LABELS=[2,1,8,10,3]
+# maps network ids road=2, crosswalk=1, lane=8; background/sky to ids the
+# mapping ignores (ref base_cfg.py:47-57)
+NET_IDS = np.array([5, 2, 1, 8, 0], dtype=np.int32)
+
+
+def scene_class(mx, my):
+    """Evaluate the scene at map coords (vectorized)."""
+    cls = np.full(np.shape(mx), BG, dtype=np.int32)
+    road = (mx >= 104.0) & (mx < 136.0) & (my >= 804.0) & (my < 836.0)
+    cls[road] = ROAD
+    lane = road & (
+        ((my >= 812.4) & (my < 813.2)) | ((my >= 826.8) & (my < 827.6))
+    )
+    cls[lane] = LANE
+    cross = (mx >= 112.0) & (mx < 117.6) & (my >= 808.0) & (my < 832.0)
+    cls[cross] = CROSS
+    return cls
+
+
+def write_ground_truth(gt_dir):
+    """Emit the evaluator's bev-5cm-{road,crosswalks,lanes,mask}.jpg layers.
+
+    5 cm/px over the 40 m x 40 m scene -> 800x800; rows index x like the
+    generated maps (ref test_semantic_mapping.py:45-69).
+    """
+    import cv2
+
+    n = 800
+    r = (np.arange(n) + 0.5) * 0.05
+    mx = BOUNDARY[0][0] + r[:, None] * np.ones((1, n))
+    my = BOUNDARY[1][0] + np.ones((n, 1)) * r[None, :]
+    cls = scene_class(mx, my)
+    quality = [cv2.IMWRITE_JPEG_QUALITY, 100]
+    for name, cid in [("road", ROAD), ("crosswalks", CROSS), ("lanes", LANE)]:
+        layer = np.where(cls == cid, 255, 0).astype(np.uint8)
+        img = np.repeat(layer[:, :, None], 3, axis=2)
+        cv2.imwrite(osp.join(gt_dir, f"bev-5cm-{name}.jpg"), img, quality)
+    mask = np.full((n, n, 3), 255, np.uint8)
+    cv2.imwrite(osp.join(gt_dir, "bev-5cm-mask.jpg"), mask, quality)
+    return cls
+
+
+def _pose(mx, my, yaw):
+    """Map-coord vehicle pose -> world-frame (position, quaternion xyzw)."""
+    position = np.array(
+        [mx - PCD_ORIGIN_OFFSET[0], my - PCD_ORIGIN_OFFSET[1], 0.0]
+    )
+    quaternion = np.array([0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)])
+    return position, quaternion
+
+
+def render_frame(position, quaternion, scale=2):
+    """Ray-cast the scene through camera 1 at a vehicle pose.
+
+    Returns (image_rgb_full, net_labels_full) at the calibration's full
+    1920x1440 resolution (rendered at 1/scale and pixel-replicated; the
+    <= scale px edge error is ~2 cm on the ground at these depths).
+    """
+    cam = camera_setup_1()
+    w, h = cam.im_size
+    rw, rh = w // scale, h // scale
+    xs = (np.arange(rw) + 0.5) * scale - 0.5
+    ys = (np.arange(rh) + 0.5) * scale - 0.5
+    px, py = np.meshgrid(xs, ys)
+    pix = np.stack([px.ravel(), py.ravel(), np.ones(px.size)])
+
+    d_velo = cam.R.T @ (np.linalg.inv(cam.K) @ pix)   # rays, velodyne frame
+    c_velo = (-cam.R.T @ cam.t).ravel()
+    T = np.asarray(
+        pose_to_matrix(jnp.asarray(position), jnp.asarray(quaternion)),
+        dtype=np.float64,
+    ) @ velodyne_to_baselink()
+    d_w = T[:3, :3] @ d_velo
+    c_w = T[:3, :3] @ c_velo + T[:3, 3]
+
+    denom = np.where(d_w[2] == 0, -1e-12, d_w[2])
+    s = -c_w[2] / denom
+    ground = (d_w[2] < 0) & (s > 0)
+    mx = c_w[0] + s * d_w[0] + PCD_ORIGIN_OFFSET[0]
+    my = c_w[1] + s * d_w[1] + PCD_ORIGIN_OFFSET[1]
+    cls = scene_class(mx, my)
+    cls[~ground] = SKY
+
+    img = INPUT_COLORS[cls].reshape(rh, rw, 3)
+    labels = NET_IDS[cls].reshape(rh, rw)
+    img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
+    labels = np.repeat(np.repeat(labels, scale, axis=0), scale, axis=1)
+    return img, labels
+
+
+def make_poses():
+    """5 viewpoints x 10 yaw steps.
+
+    Camera 1's ground footprint per frame is a ~46 deg wedge centered
+    ~13 deg left of the body axis, blind inside ~5.8 m (measured through
+    the real calibration).  36 deg yaw steps overlap 10 deg; the center
+    viewpoint sits 14.1 m from each corner viewpoint, so every blind disc
+    is cross-covered within the 16 m point range."""
+    poses = []
+    for cmx, cmy in [(110, 810), (110, 830), (130, 810), (130, 830), (120, 820)]:
+        for k in range(10):
+            poses.append(_pose(cmx, cmy, yaw=k * np.pi / 5))
+    return poses
+
+
+def make_point_map():
+    """Static 'reduced_map' point cloud: one point per grid cell center,
+    z=0, intensity 8 (inside [2,14] so the lane boost never fires)."""
+    i, j = np.meshgrid(np.arange(GRID_HW[0]), np.arange(GRID_HW[1]), indexing="ij")
+    mx = BOUNDARY[0][0] + (i.ravel() + 0.5) * RES
+    my = BOUNDARY[1][0] + (j.ravel() + 0.5) * RES
+    return np.stack(
+        [
+            mx - PCD_ORIGIN_OFFSET[0],
+            my - PCD_ORIGIN_OFFSET[1],
+            np.zeros(mx.size),
+            np.full(mx.size, 8.0),
+        ]
+    ).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# In-process training of the real network on the synthetic scene colors
+# --------------------------------------------------------------------------
+
+def network_cfg(weight_path=""):
+    cfg = get_cfg_defaults()
+    net = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+    net.MODEL.BACKBONE = "resnet18"
+    net.MODEL.OUTPUT_STRIDE = 16
+    net.MODEL.COMPUTE_DTYPE = "float32"
+    net.MODEL.WEIGHT = weight_path
+    return cfg
+
+
+def train_segmenter(frames, labels, weight_path, max_steps=150):
+    """Overfit DeepLabV3+(resnet18) to the scene colors; save .npz weights.
+
+    Uses the package's real model builder and fused train step — the same
+    code path as the Trainer, minus the data pipeline.
+    """
+    import optax
+
+    from vision_semantic_segmentation_tpu.models.build import build_model
+    from vision_semantic_segmentation_tpu.parallel.train_step import (
+        TrainState,
+        make_train_step,
+    )
+    from vision_semantic_segmentation_tpu.models.convert import save_npz
+
+    cfg = network_cfg()
+    model, _, _, _ = build_model(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK, dtype=jnp.float32)
+
+    batch = {
+        "image": jnp.asarray(np.stack(frames), jnp.float32),
+        "label": jnp.asarray(np.stack(labels), jnp.int32),
+    }
+    # the predictor normalizes uint8/255 by ImageNet stats; train on the
+    # identical preprocessing so the checkpoint transfers
+    from vision_semantic_segmentation_tpu.inference.predictor import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    batch["image"] = (batch["image"] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+    variables = model.init(jax.random.PRNGKey(0), batch["image"][:1], train=False)
+    tx = optax.adam(3e-3)
+    state = TrainState.create(model, variables, tx, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(num_classes=19))
+
+    # Stop on PER-CLASS recall of the mapped classes — overall accuracy
+    # alone lets the tiny lane class (~1% of pixels) stay unlearned — with
+    # a 100-step floor: held-out recall keeps improving well after the
+    # train-batch gate clears (road 0.73 -> 0.94 between steps 50 and 100,
+    # measured), and map completeness tracks held-out road recall.
+    acc, recalls = 0.0, {}
+    for it in range(max_steps):
+        state, metrics = step(state, batch)
+        conf = np.asarray(metrics["confusion"])
+        acc = float(np.trace(conf) / max(conf.sum(), 1.0))
+        recalls = {
+            c: float(conf[c, c] / max(conf[c].sum(), 1.0)) for c in (2, 1, 8)
+        }
+        if min(recalls.values()) >= 0.93 and it >= 99:
+            break
+    assert acc >= 0.97 and min(recalls.values()) >= 0.85, (
+        f"segmenter failed to overfit the scene: acc={acc:.3f} {recalls}"
+    )
+    save_npz({"params": state.params, "batch_stats": state.batch_stats}, weight_path)
+    return acc
+
+
+# --------------------------------------------------------------------------
+# Fixture: build the whole artifact set once per session
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def golden_bag(tmp_path_factory):
+    import cv2  # noqa: F401  (needed by write_ground_truth)
+
+    root = tmp_path_factory.mktemp("golden")
+    gt_dir = root / "ground_truth"
+    gt_dir.mkdir()
+    write_ground_truth(str(gt_dir))
+
+    poses = make_poses()
+    pcd = make_point_map()
+
+    images, net_labels = [], []
+    for position, quaternion in poses:
+        img, lab = render_frame(position, quaternion)
+        images.append(img)
+        net_labels.append(lab)
+
+    # train on 8 frames spanning viewpoints and yaws, at the node's exact
+    # preprocessing (area resize to 96x128) and resolution — CNNs are not
+    # scale-invariant, and a train/infer resolution or resampling mismatch
+    # measurably collapses the thin-lane class (test development finding)
+    from vision_semantic_segmentation_tpu.ops.resize import resize_area
+
+    train_idx = [0, 7, 14, 25, 32, 46]
+    small_imgs = [
+        np.asarray(resize_area(jnp.asarray(images[i]), (96, 128))).astype(
+            np.float32
+        )
+        for i in train_idx
+    ]
+    small_labels = [net_labels[i][7::15, 7::15] for i in train_idx]
+    weight_path = str(root / "segmenter.npz")
+    acc = train_segmenter(small_imgs, small_labels, weight_path)
+
+    bag_path = str(root / "bag.npz")
+    frames = [
+        FrameRecord(
+            pcd=pcd,
+            pcd_frame_id="world",
+            semantic_image=images[i],
+            position=poses[i][0],
+            quaternion=poses[i][1],
+            camera="camera1",
+            stamp=float(i),
+        )
+        for i in range(len(poses))
+    ]
+    save_frames(frames, bag_path)
+
+    cfg = network_cfg(weight_path)
+    cfg.TASK_NAME = "golden_e2e"
+    cfg.OUTPUT_DIR = str(root / "out")
+    cfg.GROUND_TRUTH_DIR = str(gt_dir)
+    cfg.MAPPING.RESOLUTION = RES
+    cfg.MAPPING.BOUNDARY = BOUNDARY
+    cfg.MAPPING.POINT_BUCKET = 2 ** 16
+    # every cell is within 4-15 m of some viewpoint; capping the range
+    # keeps far, heavily-quantized observations out of the evidence
+    cfg.MAPPING.PCD.RANGE_MAX = 16.0
+    cfg.VISION_SEM_SEG.IMAGE_SCALE = 0.0667  # -> 96x128, = train resolution
+    cfg.VISION_SEM_SEG.UNDISTORT = False  # frames are rendered pinhole
+    cfg_path = str(root / "golden.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.dump())
+
+    return {
+        "root": root,
+        "cfg": cfg,
+        "cfg_path": cfg_path,
+        "bag_path": bag_path,
+        "gt_dir": str(gt_dir),
+        "train_acc": acc,
+        "frames": frames,
+    }
+
+
+class TestGoldenPipeline:
+    def test_cli_pipeline_iou(self, golden_bag):
+        """Full CLI path: __main__ pipeline -> global_map.png -> IoU."""
+        import cv2
+
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.evaluation.map_eval import MapEvaluator
+
+        main(["pipeline", "--cfg", golden_bag["cfg_path"], "--bag", golden_bag["bag_path"]])
+
+        import glob
+
+        candidates = sorted(
+            glob.glob(
+                osp.join(str(golden_bag["root"]), "out", "**", "global_map.png"),
+                recursive=True,
+            )
+        )
+        assert candidates, "pipeline did not write a global_map.png"
+        map_path = candidates[-1]
+        color_map = cv2.imread(map_path)  # saved RGB round-trips unchanged
+
+        evaluator = MapEvaluator(ground_truth_dir=golden_bag["gt_dir"])
+        result = evaluator.test_single_map(color_map)
+
+        # Pinned quality floor for the synthetic scene.  The residual error
+        # is label quantization at the network's output stride upsampled to
+        # full frame; road dominates, thin lanes are hardest.
+        assert result["iou"]["road"] >= 0.85, result
+        assert result["iou"]["crosswalk"] >= 0.55, result
+        assert result["iou"]["lane"] >= 0.30, result
+        assert result["miou"] >= 0.60, result
+        assert result["missing_rate"] <= 0.10, result
+
+    def test_float64_host_reference_matches_device_map(self, golden_bag):
+        """f64 numpy reference of the whole post-network pipeline vs the
+        device pipeline: semantic images captured off the bus, then f64
+        projection + grid update + box filter + render."""
+        from test_mapping import golden_frame
+
+        from vision_semantic_segmentation_tpu.mapping.engine import (
+            SemanticMappingEngine,
+        )
+        from vision_semantic_segmentation_tpu.runtime.bus import TopicBus
+        from vision_semantic_segmentation_tpu.runtime.node import (
+            MappingNode,
+            SegmentationNode,
+        )
+
+        cfg = golden_bag["cfg"]
+        bus = TopicBus()
+        SegmentationNode(cfg, bus)
+        engine = SemanticMappingEngine(cfg)
+        node = MappingNode(cfg, bus, engine=engine)
+
+        semantic_images = []
+        bus.subscribe("/camera1/semantic", lambda m: semantic_images.append(np.asarray(m.data)))
+
+        # parity needs identical inputs, not full coverage: a 12-frame
+        # subset keeps this test fast
+        subset = golden_bag["frames"][::4]
+        for f in subset:
+            bus.publish("/reduced_map", f.pcd, stamp=f.stamp, frame_id=f.pcd_frame_id)
+            bus.publish("/current_pose", (f.position, f.quaternion), stamp=f.stamp)
+            bus.publish("/camera1/image_raw", f.semantic_image, stamp=f.stamp, frame_id="camera1")
+        device_map = node.finalize()
+        assert len(semantic_images) == len(subset)
+
+        # ---- float64 host pipeline ----
+        grid = np.zeros(
+            (GRID_HW[0], GRID_HW[1], len(cfg.LABELS_NAMES)), dtype=np.float64
+        )
+        evidence = np.asarray(engine.evidence, dtype=np.float64)
+        for f, sem in zip(subset, semantic_images):
+            grid = golden_frame(
+                grid, f.pcd.astype(np.float64), sem, f.position, f.quaternion,
+                cfg, evidence,
+            )
+        # 3x3 reflect box filter (matches ops.filters.box_filter_3x3)
+        gp = np.pad(grid, ((1, 1), (1, 1), (0, 0)), mode="reflect")
+        h, w = grid.shape[:2]
+        filtered = sum(
+            gp[dy : dy + h, dx : dx + w] for dy in (0, 1, 2) for dx in (0, 1, 2)
+        ) / 9.0
+        # argmax render, zero-sum cells black
+        colors = np.asarray(cfg.LABEL_COLORS, dtype=np.uint8)
+        host_map = colors[np.argmax(filtered, axis=2)]
+        host_map[filtered.sum(axis=2) == 0] = 0
+
+        agree = float(np.mean(np.all(host_map == device_map, axis=-1)))
+        assert agree >= 0.995, f"host/device map agreement only {agree:.4f}"

@@ -35,22 +35,33 @@ def cmd_replay(args):
 
 
 def cmd_pipeline(args):
-    """Run both nodes in-process over a recorded sequence (camera1_mapping)."""
+    """Run both nodes in-process over a recorded sequence (camera1_mapping).
+
+    Accepts the native ``.npz`` frame format or a ROS ``.bag`` recording
+    (replayed through the rosbag adapter, ref launch/camera1_mapping.launch).
+    """
     from .mapping.engine import SemanticMappingEngine
     from .runtime.bus import TopicBus
     from .runtime.io import load_frames
     from .runtime.node import MappingNode, SegmentationNode
+    from .utils.ros_compat import TransformTree
 
     cfg = _load_app_cfg(args.cfg)
     bus = TopicBus()
     SegmentationNode(cfg, bus)
-    node = MappingNode(cfg, bus, engine=SemanticMappingEngine(cfg))
+    tf_tree = TransformTree()
+    node = MappingNode(cfg, bus, engine=SemanticMappingEngine(cfg), tf_tree=tf_tree)
 
-    frames = load_frames(args.bag)
-    for f in frames:
-        bus.publish("/reduced_map", f.pcd, stamp=f.stamp, frame_id=f.pcd_frame_id)
-        bus.publish("/current_pose", (f.position, f.quaternion), stamp=f.stamp)
-        bus.publish(f"/{f.camera}/image_raw", f.semantic_image, stamp=f.stamp, frame_id=f.camera)
+    if args.bag.endswith(".bag"):
+        from .runtime.bag_adapter import play_bag
+
+        play_bag(args.bag, bus, tf_tree=tf_tree)
+    else:
+        frames = load_frames(args.bag)
+        for f in frames:
+            bus.publish("/reduced_map", f.pcd, stamp=f.stamp, frame_id=f.pcd_frame_id)
+            bus.publish("/current_pose", (f.position, f.quaternion), stamp=f.stamp)
+            bus.publish(f"/{f.camera}/image_raw", f.semantic_image, stamp=f.stamp, frame_id=f.camera)
     if node.grid is not None and node.finalized_map is None:
         node.finalize()
 

@@ -58,6 +58,10 @@ _C.MAPPING.UPDATE_WINDOW = 0
 
 _C.VISION_SEM_SEG = CN()
 _C.VISION_SEM_SEG.IMAGE_SCALE = 1.0
+# Undistort incoming camera frames with the calibration's plumb-bob
+# coefficients (ref node:85-87).  Disable for pre-rectified / synthetic
+# feeds whose geometry is already pinhole.
+_C.VISION_SEM_SEG.UNDISTORT = True
 
 _network = get_demo_cfg_defaults()
 _network.TRAIN_DATASET = "Mapillary"

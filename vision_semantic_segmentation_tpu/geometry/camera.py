@@ -165,6 +165,26 @@ def camera_setup_6() -> Camera:
     return Camera(K=K, R=R, t=t, im_size=(1920, 1440), id=6, dist=dist)
 
 
+def camera_from_extrinsic(base: Camera, T_cam_to_velodyne: np.ndarray) -> Camera:
+    """Camera with ``base``'s intrinsics but TF-derived extrinsics.
+
+    The reference resolves camera->base_link from the live TF tree at node
+    startup and composes it with the pose for projection
+    (ref mapping.py:142-163, get_extrinsics :528-541); this is the static
+    half of that path: given camera->velodyne, rebuild P = K [R|t] with
+    R, t mapping velodyne-frame points into the camera frame.
+    """
+    T = np.linalg.inv(np.asarray(T_cam_to_velodyne, dtype=np.float64))
+    return Camera(
+        K=base.K,
+        R=T[:3, :3],
+        t=T[:3, 3:4],
+        im_size=base.im_size,
+        id=base.id,
+        dist=base.dist,
+    )
+
+
 def get_camera(frame_id: str) -> Camera:
     """Look up a vehicle camera by ROS frame id (ref mapping.py:273-278)."""
     table = {"camera1": camera_setup_1, "camera6": camera_setup_6}

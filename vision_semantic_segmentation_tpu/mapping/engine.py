@@ -132,11 +132,17 @@ class SemanticMappingEngine:
         cfg,
         evidence: Optional[np.ndarray] = None,
         duplicate_semantics: str = "reference",
+        cameras: Optional[Dict[str, Camera]] = None,
     ):
         """Args:
             duplicate_semantics: 'reference' collapses duplicate (cell,
                 class) hits per frame like the reference's fancy-index +=
                 (ref mapping.py:424); 'accumulate' adds evidence per point.
+            cameras: extra/override camera calibrations (e.g. TF-derived
+                extrinsics via geometry.camera.camera_from_extrinsic,
+                mirroring ref mapping.py:142-163).  Merged over the built-in
+                setups 1/6; must be set before the first step() for that
+                camera (each camera's projection compiles once).
         """
         from .confusion import evidence_matrix
 
@@ -167,6 +173,8 @@ class SemanticMappingEngine:
             "camera1": camera_setup_1(),
             "camera6": camera_setup_6(),
         }
+        if cameras:
+            self.cameras.update(cameras)
 
         # One compiled step per (camera, pcd-frame) combination
         self._step_fns: Dict[Tuple[str, bool], callable] = {}

@@ -1,0 +1,166 @@
+"""Rosbag -> topic-bus playback adapter.
+
+The reference's launch files wire `rosbag play` into the two nodes over
+TCPROS (`/root/reference/scripts/launch/camera1_mapping.launch:6-15`).
+This adapter replays a ``.bag`` file onto the in-process :class:`TopicBus`
+in record order, translating message payloads into the pipeline's native
+types:
+
+  * ``sensor_msgs/Image`` / ``CompressedImage``  -> uint8 RGB array on
+    ``/<camera>/image_raw``
+  * ``sensor_msgs/PointCloud2``                  -> (4, N) float32 xyzi
+  * ``geometry_msgs/PoseStamped``                -> (position, quaternion)
+  * ``tf2_msgs/TFMessage`` / ``tf/tfMessage``    -> TransformTree updates
+    (feeding the dynamic camera-extrinsics path, ref mapping.py:142-163)
+
+Message stamps prefer the ROS header stamp (what the reference's
+nearest-stamp sync keys on) and fall back to the bag record time.
+"""
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+from .bus import TopicBus
+from .rosbag import (
+    BagMessage,
+    CompressedImageMsg,
+    ImageMsg,
+    PointCloud2Msg,
+    PoseStampedMsg,
+    RosbagReader,
+    TFMessageMsg,
+)
+
+__all__ = ["play_bag", "bag_to_frames", "DEFAULT_TOPIC_MAP"]
+
+# The reference's launch files republish the AVT camera topics to
+# /<camera>/image_raw (ref scripts/launch/camera1_mapping.launch:13-15);
+# these renames replace that image_transport republisher.
+DEFAULT_TOPIC_MAP = {
+    "/avt_cameras/camera1/image_color": "/camera1/image_raw",
+    "/avt_cameras/camera1/image_color/compressed": "/camera1/image_raw",
+    "/avt_cameras/camera6/image_color": "/camera6/image_raw",
+    "/avt_cameras/camera6/image_color/compressed": "/camera6/image_raw",
+}
+
+
+def _camera_of_topic(topic: str) -> str:
+    """'/camera1/image_raw' -> 'camera1' (launch-file topic convention)."""
+    parts = [p for p in topic.split("/") if p]
+    return parts[0] if parts else "camera1"
+
+
+def play_bag(
+    bag_path: str,
+    bus: TopicBus,
+    tf_tree=None,
+    topic_map: Optional[Dict[str, str]] = None,
+) -> int:
+    """Publish every supported message of a bag onto the bus, in order.
+
+    Args:
+        tf_tree: optional TransformTree updated from /tf and /tf_static.
+        topic_map: optional bag-topic -> bus-topic renames (e.g.
+            ``{"/ndt_pose": "/current_pose"}``).
+
+    Returns the number of messages published.
+    """
+    topic_map = {**DEFAULT_TOPIC_MAP, **(topic_map or {})}
+    count = 0
+    for rec in RosbagReader(bag_path).read_messages():
+        topic = topic_map.get(rec.topic, rec.topic)
+        msg = rec.message
+        if isinstance(msg, TFMessageMsg):
+            if tf_tree is not None:
+                for tr in msg.transforms:
+                    tf_tree.set_pose(
+                        tr.translation, tr.rotation,
+                        parent=tr.header.frame_id.lstrip("/"),
+                        child=tr.child_frame_id.lstrip("/"),
+                        stamp=tr.header.stamp,
+                    )
+            # also surface on the bus for subscribers (e.g. node TF refresh)
+            bus.publish("/tf", msg, stamp=rec.stamp)
+            count += 1
+        elif isinstance(msg, (ImageMsg, CompressedImageMsg)):
+            stamp = msg.header.stamp or rec.stamp
+            bus.publish(
+                topic, msg.rgb(), stamp=stamp,
+                frame_id=msg.header.frame_id.lstrip("/") or _camera_of_topic(topic),
+            )
+            count += 1
+        elif isinstance(msg, PointCloud2Msg):
+            stamp = msg.header.stamp or rec.stamp
+            bus.publish(
+                topic, msg.xyzi(), stamp=stamp,
+                frame_id=msg.header.frame_id.lstrip("/"),
+            )
+            count += 1
+        elif isinstance(msg, PoseStampedMsg):
+            stamp = msg.header.stamp or rec.stamp
+            bus.publish(
+                topic, (msg.position, msg.quaternion), stamp=stamp,
+                frame_id=msg.header.frame_id.lstrip("/"),
+            )
+            count += 1
+    return count
+
+
+def bag_to_frames(
+    bag_path: str,
+    image_topic: str = "/camera1/image_raw",
+    pcd_topic: str = "/reduced_map",
+    pose_topic: str = "/current_pose",
+):
+    """Convert a bag into replayable FrameRecords (nearest-stamp sync).
+
+    Host-side equivalent of the mapping node's queue sync
+    (ref mapping.py:185-219), for exporting bags to the ``.npz`` replay
+    format: each image frame is paired with the nearest pose and the
+    nearest cloud by header stamp.
+    """
+    from .bus import nearest_stamp_index
+    from .io import FrameRecord
+
+    wanted = {image_topic, pcd_topic, pose_topic}
+    # accept bag topics that the default republisher renames map onto
+    aliases = [t for t, v in DEFAULT_TOPIC_MAP.items() if v in wanted]
+    images, clouds, poses = [], [], []
+    for rec in RosbagReader(bag_path).read_messages(
+        topics=list(wanted) + aliases
+    ):
+        msg = rec.message
+        if isinstance(msg, (ImageMsg, CompressedImageMsg)):
+            images.append((msg.header.stamp or rec.stamp, msg))
+        elif isinstance(msg, PointCloud2Msg):
+            clouds.append((msg.header.stamp or rec.stamp, msg))
+        elif isinstance(msg, PoseStampedMsg):
+            poses.append((msg.header.stamp or rec.stamp, msg))
+
+    if not images or not clouds or not poses:
+        raise ValueError(
+            f"{bag_path}: need images ({len(images)}), clouds "
+            f"({len(clouds)}) and poses ({len(poses)}) to build frames"
+        )
+    cloud_stamps = [s for s, _ in clouds]
+    pose_stamps = [s for s, _ in poses]
+    frames = []
+    camera = _camera_of_topic(image_topic)
+    for stamp, img in images:
+        cloud = clouds[nearest_stamp_index(cloud_stamps, stamp)][1]
+        pose = poses[nearest_stamp_index(pose_stamps, stamp)][1]
+        frames.append(
+            FrameRecord(
+                pcd=cloud.xyzi(),
+                pcd_frame_id=cloud.header.frame_id.lstrip("/") or "world",
+                semantic_image=img.rgb(),
+                position=np.asarray(pose.position),
+                quaternion=np.asarray(pose.quaternion),
+                camera=camera,
+                stamp=stamp,
+            )
+        )
+    return frames

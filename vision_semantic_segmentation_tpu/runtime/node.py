@@ -52,12 +52,18 @@ class SegmentationNode:
         self.publish_hulls = publish_hulls
         self.plane = None
         self.plane_last_update = 0.0
+        undistort = (
+            bool(cfg.VISION_SEM_SEG.UNDISTORT)
+            if "UNDISTORT" in cfg.VISION_SEM_SEG
+            else True
+        )
         self._undistort_maps: Dict[str, np.ndarray] = {}
         for cam in cameras:
-            try:
-                self._undistort_maps[cam] = get_camera(cam).undistort_maps()
-            except KeyError:
-                pass
+            if undistort:
+                try:
+                    self._undistort_maps[cam] = get_camera(cam).undistort_maps()
+                except KeyError:
+                    pass
             bus.subscribe(f"/{cam}/image_raw", self.image_callback)
         bus.subscribe("/estimated_plane", self.plane_callback)
 
@@ -181,12 +187,51 @@ class MappingNode:
         bus.subscribe("/current_pose", self.pose_callback)
         bus.subscribe("/camera1/semantic", self.image_callback)
         bus.subscribe("/camera6/semantic", self.image_callback)
+        if tf_tree is not None:
+            bus.subscribe("/tf", self._tf_callback)
+        self._tf_cameras_registered: set = set()
         if self.depth_method == "points_map":
             bus.subscribe("/reduced_map", self.pcd_callback)
         elif self.depth_method == "points_raw":
             bus.subscribe("/points_raw", self.pcd_callback)
 
     # -- callbacks -----------------------------------------------------------
+    def _tf_callback(self, msg: Message) -> None:
+        """Fold /tf messages into the tree (rosbag playback path)."""
+        for tr in getattr(msg.data, "transforms", []):
+            self.tf_tree.set_pose(
+                tr.translation, tr.rotation,
+                parent=tr.header.frame_id.lstrip("/"),
+                child=tr.child_frame_id.lstrip("/"),
+                stamp=tr.header.stamp,
+            )
+
+    def _maybe_register_tf_camera(self, camera: str) -> None:
+        """Dynamic camera extrinsics from TF, once, before first compile.
+
+        The reference resolves camera->base_link from the live TF tree at
+        startup (ref mapping.py:142-163) and composes it with the pose in
+        get_extrinsics (ref :528-541).  Here, if the TF tree carries the
+        camera frame, rebuild the engine's camera with those extrinsics;
+        the built-in hardcoded setup stays as the fallback.
+        """
+        if self.tf_tree is None or camera in self._tf_cameras_registered:
+            return
+        self._tf_cameras_registered.add(camera)
+        try:
+            T_cam_to_base = self.tf_tree.lookup("base_link", camera)
+        except LookupError:
+            return  # no TF calibration broadcast: keep the built-in setup
+        from ..geometry.camera import camera_from_extrinsic, get_camera
+
+        T_cam_to_velo = (
+            np.linalg.inv(self.engine.T_velodyne_to_baselink) @ T_cam_to_base
+        )
+        self.engine.cameras[camera] = camera_from_extrinsic(
+            get_camera(camera), T_cam_to_velo
+        )
+        self.logger.log(f"Registered TF extrinsics for {camera}")
+
     def pcd_callback(self, msg: Message) -> None:
         self.pcd_queue.append(msg)
 
@@ -203,6 +248,7 @@ class MappingNode:
 
     def image_callback(self, msg: Message) -> None:
         """Fuse one semantic frame (ref mapping.py:261-355)."""
+        self._maybe_register_tf_camera(msg.frame_id)
         if self.depth_method in ("points_map", "points_raw"):
             if not self.pcd_queue:
                 self.dropped_frames += 1
