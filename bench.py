@@ -250,7 +250,8 @@ def main(quick: bool = False):
     )
 
     pointwise = engine._build_pointwise(
-        cam, velodyne_frame=False, image_is_class_id=True, image_full_hw=(img_h, img_w)
+        cam, pcd_in_velodyne_frame=False, image_is_class_id=True,
+        image_full_hw=(img_h, img_w),
     )
     apply_update = engine._build_update()
 

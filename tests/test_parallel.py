@@ -350,3 +350,89 @@ class TestMultiStepDispatch:
             jax.tree.leaves(state_seq.params), jax.tree.leaves(state_multi.params)
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestFrameParallelReplay:
+    def test_matches_sequential_replay(self, rng, devices):
+        """8 frames fused data-parallel == sequential engine replay.
+
+        Per-frame contributions are additive (the reference dedupe is
+        within-frame, ref mapping.py:424), so only the cross-device psum
+        re-associates the f32 sums."""
+        from test_mapping import make_frame
+        from test_runtime import small_cfg
+        from vision_semantic_segmentation_tpu.mapping.engine import pad_points
+        from vision_semantic_segmentation_tpu.parallel.frame_parallel import (
+            make_frame_parallel_run,
+            stack_frames,
+        )
+        from vision_semantic_segmentation_tpu.runtime.io import FrameRecord
+
+        cfg = small_cfg()
+        cfg.MAPPING.POINT_BUCKET = 2048
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+
+        frames = []
+        for i in range(8):
+            pts, img, position, quaternion = make_frame(rng, cfg, n=1200)
+            frames.append(
+                FrameRecord(
+                    pcd=pts, pcd_frame_id="world", semantic_image=img,
+                    position=position, quaternion=quaternion, stamp=float(i),
+                )
+            )
+
+        # sequential reference
+        grid_seq = engine.init_grid()
+        for f in frames:
+            pcd, valid = pad_points(f.pcd, cfg.MAPPING.POINT_BUCKET)
+            grid_seq, _, _ = engine.step(
+                grid_seq, pcd, valid, f.semantic_image, f.position, f.quaternion
+            )
+
+        mesh = create_mesh(axis_names=("data",), devices=devices)
+        run = make_frame_parallel_run(engine, mesh)
+        stacked = stack_frames(engine, frames, mesh)
+        grid_fp = run(engine.init_grid(), *stacked)
+
+        np.testing.assert_allclose(
+            np.asarray(grid_fp), np.asarray(grid_seq), rtol=1e-5, atol=1e-5
+        )
+
+    def test_padding_frames_are_noops(self, rng, devices):
+        """5 frames pad to 8; padded frames must contribute nothing."""
+        from test_mapping import make_frame
+        from test_runtime import small_cfg
+        from vision_semantic_segmentation_tpu.mapping.engine import pad_points
+        from vision_semantic_segmentation_tpu.parallel.frame_parallel import (
+            make_frame_parallel_run,
+            stack_frames,
+        )
+        from vision_semantic_segmentation_tpu.runtime.io import FrameRecord
+
+        cfg = small_cfg()
+        cfg.MAPPING.POINT_BUCKET = 2048
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        frames = []
+        for i in range(5):
+            pts, img, position, quaternion = make_frame(rng, cfg, n=800)
+            frames.append(
+                FrameRecord(
+                    pcd=pts, pcd_frame_id="world", semantic_image=img,
+                    position=position, quaternion=quaternion, stamp=float(i),
+                )
+            )
+        grid_seq = engine.init_grid()
+        for f in frames:
+            pcd, valid = pad_points(f.pcd, cfg.MAPPING.POINT_BUCKET)
+            grid_seq, _, _ = engine.step(
+                grid_seq, pcd, valid, f.semantic_image, f.position, f.quaternion
+            )
+        mesh = create_mesh(axis_names=("data",), devices=devices)
+        run = make_frame_parallel_run(engine, mesh)
+        stacked = stack_frames(engine, frames, mesh)
+        assert stacked[0].shape[0] == 8
+        grid_fp = run(engine.init_grid(), *stacked)
+        np.testing.assert_allclose(
+            np.asarray(grid_fp), np.asarray(grid_seq), rtol=1e-5, atol=1e-5
+        )

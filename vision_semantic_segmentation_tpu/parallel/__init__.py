@@ -17,6 +17,7 @@ from .train_step import (
     make_train_step,
 )
 from .grid_shard import gather_grid, init_sharded_grid, make_sharded_step
+from .frame_parallel import make_frame_parallel_run, stack_frames
 
 __all__ = [
     "create_mesh",
@@ -36,4 +37,6 @@ __all__ = [
     "gather_grid",
     "init_sharded_grid",
     "make_sharded_step",
+    "make_frame_parallel_run",
+    "stack_frames",
 ]
