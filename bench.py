@@ -221,15 +221,18 @@ def main(quick: bool = False):
     fps = (window * n_windows) / elapsed
     step_ms = 1000.0 / fps
 
-    # -- stage breakdown (separately-jitted programs, same shapes) ----------
+    # -- stage breakdown -----------------------------------------------------
+    # Each stage is timed as a lax.scan over the whole window in ONE device
+    # dispatch, exactly like the e2e runner: a single-frame dispatch through
+    # this environment's tunnel costs ~30-40 ms of round-trip latency, which
+    # would swamp the per-frame compute being measured.
     cam = "camera1"
     undistort_map = pipeline._undistort_maps.get(cam)
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
     std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
     table = pipeline.channel_table
 
-    @jax.jit
-    def forward_stage(variables, frame_u8):
+    def forward_one(variables, frame_u8):
         x = frame_u8
         if undistort_map is not None:
             from vision_semantic_segmentation_tpu.ops.warp import undistort
@@ -241,13 +244,20 @@ def main(quick: bool = False):
         net_labels = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
         return table[jnp.clip(net_labels, 0, table.shape[0] - 1)]
 
-    frame0 = windows[0]["image"][0]
-    channel_img = forward_stage(pipeline.variables, frame0)
-    jax.block_until_ready(channel_img)
+    @jax.jit
+    def forward_window(variables, images):
+        def body(_, frame):
+            return 0, forward_one(variables, frame)
+
+        _, chs = jax.lax.scan(body, 0, images)
+        return chs
+
+    channel_imgs = forward_window(pipeline.variables, windows[0]["image"])
+    jax.block_until_ready(channel_imgs)
     t_forward = _time_best(
-        lambda: forward_stage(pipeline.variables, frame0),
-        lambda out: float(jnp.sum(out[:2, :2])),
-    )
+        lambda: forward_window(pipeline.variables, windows[0]["image"]),
+        lambda out: float(jnp.sum(out[:2, :2, :2])),
+    ) / window
 
     pointwise = engine._build_pointwise(
         cam, pcd_in_velodyne_frame=False, image_is_class_id=True,
@@ -256,20 +266,27 @@ def main(quick: bool = False):
     apply_update = engine._build_update()
 
     @jax.jit
-    def fusion_stage(grid, pcd, valid, channel_img, position, quaternion):
-        cell, cls, vis, upd, _ = pointwise(pcd, valid, channel_img, position, quaternion)
-        return apply_update(grid, cell, cls, pcd[3], upd)
+    def fusion_window(grid, pcds, valids, chs, positions, quaternions):
+        def body(g, frame):
+            pcd, valid, ch, pos, quat = frame
+            cell, cls, vis, upd, _ = pointwise(pcd, valid, ch, pos, quat)
+            return apply_update(g, cell, cls, pcd[3], upd), None
 
-    fgrid = pipeline.init_grid()
-    pcd0 = windows[0]["pcd"][0]
-    valid0 = windows[0]["valid"][0]
-    pos0, quat0 = jnp.asarray(position[0]), jnp.asarray(quaternion[0])
-    fgrid = fusion_stage(fgrid, pcd0, valid0, channel_img, pos0, quat0)
+        grid, _ = jax.lax.scan(
+            body, grid, (pcds, valids, chs, positions, quaternions)
+        )
+        return grid
+
+    fargs = (
+        windows[0]["pcd"], windows[0]["valid"], channel_imgs,
+        windows[0]["position"], windows[0]["quaternion"],
+    )
+    fgrid = fusion_window(pipeline.init_grid(), *fargs)
     jax.block_until_ready(fgrid)
     t_fusion = _time_best(
-        lambda: fusion_stage(fgrid, pcd0, valid0, channel_img, pos0, quat0),
+        lambda: fusion_window(fgrid, *fargs),
         lambda out: float(jnp.sum(out[:2, :2])),
-    )
+    ) / window
 
     # -- MFU -----------------------------------------------------------------
     kind = jax.devices()[0].device_kind

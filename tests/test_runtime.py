@@ -431,3 +431,18 @@ class TestDropObservability:
         raw = (rng.random((1440, 1920, 3)) * 255).astype(np.uint8)
         grid, labels = pipeline.step(engine.init_grid(), raw, pcd, valid, position, quaternion)
         assert np.asarray(grid).shape[0] == 5
+
+
+class TestFrameParallelReplayDriver:
+    def test_run_frames_parallel_matches_sequential(self, rng, tmp_path):
+        """MappingReplay.run_frames_parallel == run_frames on the CPU mesh."""
+        import numpy as np
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        replay = MappingReplay(cfg)
+        frames = _make_sequence(rng, cfg, n_frames=8, n_pts=1200)
+
+        grid_seq = np.asarray(replay.run_frames(frames))
+        grid_fp = np.asarray(replay.run_frames_parallel(frames))
+        np.testing.assert_allclose(grid_fp, grid_seq, rtol=1e-5, atol=1e-5)

@@ -98,6 +98,41 @@ class MappingReplay:
             i = j
         return grid
 
+    def run_frames_parallel(
+        self,
+        frames: Sequence[FrameRecord],
+        mesh=None,
+        axis: str = "data",
+    ):
+        """Fuse a homogeneous frame sequence data-parallel over a mesh.
+
+        Frames shard over the mesh's ``axis``; each device scans its frames
+        into a partial grid and one psum combines them (exact up to f32
+        re-association — see parallel/frame_parallel.py).  Use when the bag
+        is long and the grid fits per-device; requires all frames to share
+        one camera and cloud frame.
+        """
+        import jax
+
+        from ..parallel.frame_parallel import make_frame_parallel_run, stack_frames
+        from ..parallel.mesh import create_mesh
+
+        assert frames, "no frames to replay"
+        cameras = {f.camera for f in frames}
+        cloud_frames = {f.pcd_frame_id for f in frames}
+        assert len(cameras) == 1 and len(cloud_frames) == 1, (
+            "frame-parallel replay needs a homogeneous sequence; got "
+            f"cameras={cameras}, cloud frames={cloud_frames}"
+        )
+        if mesh is None:
+            mesh = create_mesh(axis_names=(axis,), devices=jax.devices())
+        run = make_frame_parallel_run(
+            self.engine, mesh, axis=axis, camera=frames[0].camera,
+            pcd_in_velodyne_frame=frames[0].pcd_frame_id == "velodyne",
+        )
+        stacked = stack_frames(self.engine, frames, mesh, axis=axis)
+        return run(self.engine.init_grid(), *stacked)
+
     def finalize(self, grid, name: str = "", use_pallas: Optional[bool] = None) -> np.ndarray:
         """Smooth + render + save + evaluate (ref mapping_replay.py:194-211).
 
