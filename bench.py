@@ -163,11 +163,14 @@ def main(quick: bool = False):
         jax.random.PRNGKey(0), jnp.zeros((1, img_h, img_w, 3), jnp.float32), train=False
     )
 
-    # undistortion maps are defined by the 1920x1440 calibration; quick
-    # mode's reduced frames skip it (full mode = the honest production path)
-    undistort = not quick
+    # Lens distortion is handled on the POINTS (plumb-bob forward model on
+    # ~1e5 projections) rather than by resampling the 2.7M-pixel frame: the
+    # image remap measured 66 ms/frame on v5e — more than the DeepLab
+    # forward itself.  Quick mode's reduced frames don't match the
+    # 1920x1440 calibration, so they run pinhole.
+    distortion = "none" if quick else "points"
     engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
-    pipeline = FusedFramePipeline(cfg, variables, engine=engine, undistort=undistort)
+    pipeline = FusedFramePipeline(cfg, variables, engine=engine, distortion=distortion)
     run = pipeline.build_sequence_runner(image_hw=(img_h, img_w))
 
     # -- on-device window generation (distinct frames per window) -----------
@@ -227,18 +230,12 @@ def main(quick: bool = False):
     # this environment's tunnel costs ~30-40 ms of round-trip latency, which
     # would swamp the per-frame compute being measured.
     cam = "camera1"
-    undistort_map = pipeline._undistort_maps.get(cam)
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
     std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
     table = pipeline.channel_table
 
     def forward_one(variables, frame_u8):
-        x = frame_u8
-        if undistort_map is not None:
-            from vision_semantic_segmentation_tpu.ops.warp import undistort
-
-            x = undistort(x, undistort_map)
-        xf = x.astype(jnp.float32) / 255.0
+        xf = frame_u8.astype(jnp.float32) / 255.0
         xf = (xf - mean) / std
         logits = model.apply(variables, xf[None], train=False, upsample_pred=False)
         net_labels = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
@@ -262,6 +259,7 @@ def main(quick: bool = False):
     pointwise = engine._build_pointwise(
         cam, pcd_in_velodyne_frame=False, image_is_class_id=True,
         image_full_hw=(img_h, img_w),
+        distorted_image=(distortion == "points"),
     )
     apply_update = engine._build_update()
 
@@ -297,7 +295,11 @@ def main(quick: bool = False):
     flops = nominal_model_flops(img_h, img_w, net_cfg.DATASET.NUM_CLASSES)
     mfu = (flops * fps) / (peak * 1e12)
 
-    stages = "undistort_seg_fusion" if undistort else "seg_fusion"
+    stages = {
+        "points": "distortaware_seg_fusion",
+        "image": "undistort_seg_fusion",
+        "none": "seg_fusion",
+    }[distortion]
     result = {
         "metric": f"e2e_frames_per_sec_{img_h}x{img_w}_{stages}",
         "value": round(fps, 3),
@@ -311,7 +313,7 @@ def main(quick: bool = False):
         "device_kind": kind,
         "peak_tflops": peak,
         "peak_assumed": peak_assumed,
-        "undistort": undistort,
+        "distortion": distortion,
         "distinct_windows": n_windows,
     }
     print(json.dumps(result))

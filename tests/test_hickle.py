@@ -239,3 +239,13 @@ class TestReplayIngestsHkl:
         color_map = results[0]
         assert color_map.ndim == 3 and color_map.shape[2] == 3
         assert color_map.any()
+
+
+class TestSlashKeys:
+    def test_dict_keys_with_slashes_roundtrip(self, tmp_path):
+        """'/'-bearing keys (e.g. ROS topic names) must not split into
+        nested HDF5 groups (writer escapes, reader unescapes)."""
+        obj = {"/camera1/image_raw": [1, 2, 3], "plain": "x"}
+        path = str(tmp_path / "slash.hkl")
+        dump_hickle(obj, path)
+        assert load_hickle(path) == obj

@@ -543,3 +543,124 @@ class TestMapLayerImages:
         imgs = np.asarray(map_layer_images(grid, normalize=False))
         assert imgs[1].max() == 255 and imgs[1].min() == 0
         assert (imgs[0] == 0).all()  # constant layer -> all zeros
+
+
+class TestDistortedProjection:
+    """Engine ``distorted_image`` mode: the plumb-bob forward model applied
+    to projected points instead of resampling the whole frame (the
+    reference's cv2.undistort, node:85-87)."""
+
+    def _pointwise_pair(self, cfg, dist):
+        import dataclasses as dc
+
+        base = camera_setup_1()
+        cam = dc.replace(base, dist=dist)
+        engine = SemanticMappingEngine(
+            cfg, evidence=np.eye(5), cameras={"camera1": cam}
+        )
+        std = engine._build_pointwise("camera1", pcd_in_velodyne_frame=False)
+        disto = engine._build_pointwise(
+            "camera1", pcd_in_velodyne_frame=False, distorted_image=True
+        )
+        return engine, std, disto
+
+    def test_zero_distortion_equals_pinhole(self, rng):
+        cfg = small_cfg()
+        engine, std, disto = self._pointwise_pair(cfg, np.zeros(5))
+        pts, img, position, quaternion = make_frame(rng, cfg, n=2000)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+
+        out_a = std(jnp.asarray(pcd), jnp.asarray(valid), jnp.asarray(img),
+                    jnp.asarray(position, jnp.float32), jnp.asarray(quaternion, jnp.float32))
+        out_b = disto(jnp.asarray(pcd), jnp.asarray(valid), jnp.asarray(img),
+                      jnp.asarray(position, jnp.float32), jnp.asarray(quaternion, jnp.float32))
+        upd_a, upd_b = np.asarray(out_a[3]), np.asarray(out_b[3])
+        cls_a, cls_b = np.asarray(out_a[1]), np.asarray(out_b[1])
+        # identical math modulo float op order; allow a handful of points
+        # whose truncation flips at an exact pixel boundary
+        assert np.mean(upd_a == upd_b) > 0.999
+        both = upd_a & upd_b
+        assert np.mean(cls_a[both] == cls_b[both]) > 0.999
+
+    def test_matches_numpy_golden_distorted_pixels(self, rng):
+        """Distorted-pixel label gather vs an independent float64 model."""
+        cfg = small_cfg()
+        dist = camera_setup_1().dist
+        engine, _, disto = self._pointwise_pair(cfg, dist)
+        pts, img, position, quaternion = make_frame(rng, cfg, n=2000)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+
+        cell, cls, vis, upd, _ = disto(
+            jnp.asarray(pcd), jnp.asarray(valid), jnp.asarray(img),
+            jnp.asarray(position, jnp.float32), jnp.asarray(quaternion, jnp.float32),
+        )
+
+        # float64 host model
+        cam = engine.cameras["camera1"]
+        T_b2o = np.eye(4)
+        T_b2o[:3, 3] = position
+        T_v2b = engine.T_velodyne_to_baselink
+        T_o2v = np.linalg.inv(T_b2o @ T_v2b)
+        xyz = pts[:3].astype(np.float64)
+        velo = T_o2v[:3, :3] @ xyz + T_o2v[:3, 3:4]
+        cam_pts = np.hstack([cam.R, cam.t]) @ np.vstack([velo, np.ones((1, velo.shape[1]))])
+        xn = cam_pts[0] / cam_pts[2]
+        yn = cam_pts[1] / cam_pts[2]
+        k1, k2, p1, p2, k3 = dist
+        r2 = xn * xn + yn * yn
+        radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        xd = xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
+        yd = yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
+        u = cam.K[0, 0] * xd + cam.K[0, 2]
+        v = cam.K[1, 1] * yd + cam.K[1, 2]
+        iu, iv = u.astype(np.int32), v.astype(np.int32)
+        front = (velo[0] > 0) & (velo[0] < cfg.MAPPING.PCD.RANGE_MAX)
+        in_img = (iu >= 0) & (iu < 1920) & (iv >= 0) & (iv < 1440)
+        n = pts.shape[1]
+        upd_np = np.asarray(upd)[:n]
+        vis_np = np.asarray(vis)[:n]
+        golden_vis = front & in_img
+        assert np.mean(vis_np == golden_vis) > 0.999
+        both = vis_np & golden_vis
+        colors = np.array(cfg.LABEL_COLORS)
+        gathered = img[np.clip(iv, 0, 1439), np.clip(iu, 0, 1919)]
+        golden_cls = np.full(n, -1)
+        for i in range(len(colors)):
+            golden_cls[np.all(gathered == colors[i], axis=-1)] = i
+        cls_np = np.asarray(cls)[:n]
+        assert np.mean(cls_np[both] == golden_cls[both]) > 0.999
+
+    def test_map_agreement_distorted_vs_rectified(self, rng):
+        """Full-frame agreement: mapping from a raw-frame label image
+        (distorted mode) vs the rectified image (standard mode)."""
+        cfg = small_cfg()
+        dist = camera_setup_1().dist
+        engine, std, disto = self._pointwise_pair(cfg, dist)
+        cam = engine.cameras["camera1"]
+
+        # rectified label image with large blocks
+        _, img_u, position, quaternion = make_frame(rng, cfg, n=4)
+        # build the raw-frame image consistent with it: the undistort map
+        # says rectified pixel u samples raw pixel s(u); scatter L_u there
+        smap = np.asarray(cam.undistort_maps())  # (2, H, W) raw coords
+        sx = np.clip(np.round(smap[0]).astype(np.int64), 0, 1919)
+        sy = np.clip(np.round(smap[1]).astype(np.int64), 0, 1439)
+        img_d = img_u.copy()  # mild distortion: identity is a good base
+        img_d[sy.ravel(), sx.ravel()] = img_u.reshape(-1, 3)
+
+        pts, _, _, _ = make_frame(rng, cfg, n=3000)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        args_u = (jnp.asarray(pcd), jnp.asarray(valid), jnp.asarray(img_u),
+                  jnp.asarray(position, jnp.float32), jnp.asarray(quaternion, jnp.float32))
+        args_d = (jnp.asarray(pcd), jnp.asarray(valid), jnp.asarray(img_d),
+                  jnp.asarray(position, jnp.float32), jnp.asarray(quaternion, jnp.float32))
+        _, cls_u, _, upd_u, _ = std(*args_u)
+        _, cls_d, _, upd_d, _ = disto(*args_d)
+        upd_u, upd_d = np.asarray(upd_u), np.asarray(upd_d)
+        cls_u, cls_d = np.asarray(cls_u), np.asarray(cls_d)
+        both = upd_u & upd_d
+        assert both.sum() > 500
+        # the two paths quantize at different stages; labels must agree for
+        # nearly all points (block-interior points are insensitive)
+        agree = np.mean(cls_u[both] == cls_d[both])
+        assert agree > 0.97, agree

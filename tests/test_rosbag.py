@@ -201,9 +201,84 @@ class TestBagAdapter:
         frames = bag_to_frames(str(path))
         assert len(frames) == 3
         assert frames[0].pcd.shape[0] == 4
+        # EVERY frame must pair with ITS OWN stamp's pose — hardware-synced
+        # (exactly equal) stamps are the common recorded case, and the
+        # node's reference queue-walk falls through to the newest entry on
+        # ties, which would pair frame 0 with pose 2 here
+        assert frames[0].position[0] == 0.0
+        assert frames[1].position[0] == 1.0
         assert frames[2].position[0] == 2.0
         assert frames[0].pcd_frame_id == "world"
         assert frames[0].camera == "camera1"
+
+    def test_bag_to_frames_nearest_on_offset_stamps(self, rng, tmp_path):
+        """Poses offset from image stamps: nearest wins, not newest."""
+        from vision_semantic_segmentation_tpu.runtime.bag_adapter import bag_to_frames
+
+        img = (rng.random((4, 4, 3)) * 255).astype(np.uint8)
+        pts = rng.random((4, 8)).astype(np.float32)
+        msgs = []
+        for i, s in enumerate([10.0, 20.0, 30.0]):
+            msgs.append(("/current_pose", PoseStampedMsg(
+                Header(i, s, "/world"), np.array([float(i), 0, 0]),
+                np.array([0, 0, 0, 1.0])), s))
+        msgs.append(("/reduced_map", _pc2(19.0, "/world", pts), 19.0))
+        msgs.append(("/camera1/image_raw", ImageMsg(
+            Header(0, 19.0, "camera1"), 4, 4, "rgb8", img), 19.0))
+        write_bag(str(tmp_path / "o.bag"), msgs)
+        frames = bag_to_frames(str(tmp_path / "o.bag"))
+        assert len(frames) == 1
+        assert frames[0].position[0] == 1.0  # pose at 20.0 is nearest to 19.0
+
+    def test_duplicate_image_variants_collapse(self, rng, tmp_path):
+        """raw + compressed variants of one stream must not double frames."""
+        import cv2
+
+        from vision_semantic_segmentation_tpu.runtime.bag_adapter import (
+            bag_to_frames,
+            play_bag,
+        )
+        from vision_semantic_segmentation_tpu.runtime.bus import TopicBus
+        from vision_semantic_segmentation_tpu.runtime.rosbag import (
+            CompressedImageMsg,
+        )
+
+        img = np.full((4, 4, 3), 128, np.uint8)
+        ok, enc = cv2.imencode(".png", img)
+        assert ok
+        pts = rng.random((4, 8)).astype(np.float32)
+        msgs = [
+            ("/reduced_map", _pc2(10.0, "/world", pts), 10.0),
+            ("/current_pose", PoseStampedMsg(
+                Header(0, 10.0, "/world"), np.zeros(3),
+                np.array([0, 0, 0, 1.0])), 10.0),
+            ("/avt_cameras/camera1/image_color", ImageMsg(
+                Header(0, 10.0, "camera1"), 4, 4, "rgb8", img), 10.0),
+        ]
+        # also record the compressed variant of the same frame
+        msgs.append((
+            "/avt_cameras/camera1/image_color/compressed",
+            CompressedImageMsg(Header(0, 10.0, "camera1"), "png", enc.tobytes()),
+            10.0,
+        ))
+        path = str(tmp_path / "dup.bag")
+        # CompressedImageMsg has no serializer; write raw twice under the
+        # two topic names instead (same dedupe path)
+        msgs[-1] = (
+            "/avt_cameras/camera1/image_color/compressed",
+            ImageMsg(Header(0, 10.0, "camera1"), 4, 4, "rgb8", img),
+            10.0,
+        )
+        write_bag(path, msgs)
+
+        bus = TopicBus()
+        got = []
+        bus.subscribe("/camera1/image_raw", lambda m: got.append(m))
+        play_bag(path, bus)
+        assert len(got) == 1
+
+        frames = bag_to_frames(path)
+        assert len(frames) == 1
 
 
 class TestTFExtrinsics:
@@ -285,3 +360,31 @@ def _mat_to_quat(R):
     q[k] = (R[k, i] + R[i, k]) / s
     q[3] = (R[k, j] - R[j, k]) / s
     return q
+
+
+class TestTFRegistrationRetry:
+    def test_late_tf_broadcast_still_registers(self, tmp_path):
+        """A failed lookup must NOT permanently disable TF extrinsics:
+        the calibration may arrive after the first (dropped) frame."""
+        from test_runtime import small_cfg
+        from vision_semantic_segmentation_tpu.mapping.engine import (
+            SemanticMappingEngine,
+        )
+        from vision_semantic_segmentation_tpu.runtime.bus import TopicBus
+        from vision_semantic_segmentation_tpu.runtime.node import MappingNode
+        from vision_semantic_segmentation_tpu.utils.ros_compat import TransformTree
+
+        cfg = small_cfg(tmp_path)
+        engine = SemanticMappingEngine(cfg)
+        tree = TransformTree()
+        node = MappingNode(cfg, TopicBus(), engine=engine, tf_tree=tree)
+
+        node._maybe_register_tf_camera("camera1")   # no TF yet -> retry later
+        assert "camera1" not in node._tf_cameras_registered
+
+        tree.set_pose(
+            np.array([1.0, 0.0, 1.5]), np.array([0.0, 0.0, 0.0, 1.0]),
+            parent="base_link", child="camera1",
+        )
+        node._maybe_register_tf_camera("camera1")
+        assert "camera1" in node._tf_cameras_registered

@@ -55,7 +55,9 @@ def cmd_pipeline(args):
     if args.bag.endswith(".bag"):
         from .runtime.bag_adapter import play_bag
 
-        play_bag(args.bag, bus, tf_tree=tf_tree)
+        # the node already folds /tf bus messages into tf_tree; passing the
+        # tree here as well would apply every transform twice
+        play_bag(args.bag, bus)
     else:
         frames = load_frames(args.bag)
         for f in frames:

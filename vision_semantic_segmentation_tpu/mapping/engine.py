@@ -204,6 +204,7 @@ class SemanticMappingEngine:
         pcd_in_velodyne_frame: bool,
         image_is_class_id: bool = False,
         image_full_hw=None,
+        distorted_image: bool = False,
     ):
         """Closure computing per-point (cell, cls, vis, upd, boost).
 
@@ -213,8 +214,24 @@ class SemanticMappingEngine:
         image from RGB (palette-matched, the reference dataflow) to a
         direct (H, W) int32 channel-id image (<0 = unmapped) — the
         colorize+match round-trip composed away.
+
+        ``distorted_image=True`` means the label image is in the RAW
+        (distorted) camera frame: instead of resampling the whole frame
+        (the reference's cv2.undistort, node:85-87 — a 2.7M-pixel bilinear
+        gather that costs more than the DeepLab forward on TPU, measured
+        66 ms vs 43 ms at 1440x1920), the plumb-bob forward model is
+        applied to the ~1e5 projected points (a cheap VPU polynomial) and
+        labels are gathered at the distorted pixel.  Geometrically
+        equivalent label association; not bit-identical to the image
+        resample (each path quantizes at a different stage).
         """
-        P = jnp.asarray(self.cameras[camera_id].P, dtype=jnp.float32)
+        cam = self.cameras[camera_id]
+        P = jnp.asarray(cam.P, dtype=jnp.float32)
+        P_norm = jnp.asarray(cam.P_norm, dtype=jnp.float32)
+        K = jnp.asarray(cam.K, dtype=jnp.float32)
+        has_dist = distorted_image and cam.dist is not None
+        if distorted_image and cam.dist is None:
+            has_dist = False  # pinhole camera: raw frame == rectified frame
         T_v2b = jnp.asarray(self.T_velodyne_to_baselink, dtype=jnp.float32)
         label_colors = jnp.asarray(self.label_colors)
         offset = jnp.asarray(PCD_ORIGIN_OFFSET[:2, None], dtype=jnp.float32)
@@ -241,8 +258,20 @@ class SemanticMappingEngine:
                 xyz_velo = mm(T_o2v[:3, :3], xyz) + T_o2v[:3, 3:4]
 
             # perspective projection with int32 truncation (ref :375)
-            proj = mm(P, homogenize(xyz_velo))
-            ixy = (proj[:2] / proj[2]).astype(jnp.int32)
+            if has_dist:
+                # project to normalized coords, apply the plumb-bob forward
+                # model, then intrinsics: labels live in the raw frame
+                cam_pts = mm(P_norm, homogenize(xyz_velo))
+                z = jnp.where(cam_pts[2] == 0, 1e-9, cam_pts[2])
+                xy_n = cam_pts[:2] / z
+                xy_d = cam.distort_normalized(xy_n)
+                proj2 = mm(K[:2, :2], xy_d) + K[:2, 2:3]
+                # far-off-axis points blow the polynomial up; bound before
+                # the int cast (they are rejected by the masks anyway)
+                ixy = jnp.clip(proj2, -1e6, 1e6).astype(jnp.int32)
+            else:
+                proj = mm(P, homogenize(xyz_velo))
+                ixy = (proj[:2] / proj[2]).astype(jnp.int32)
 
             # visibility: in front, in range, inside the image (ref :378-383)
             front = (xyz_velo[0] > 0) & (xyz_velo[0] < range_max)

@@ -82,6 +82,8 @@ def stack_frames(engine: SemanticMappingEngine, frames, mesh: Mesh, axis: str = 
 
     from ..mapping.engine import pad_points
 
+    if not frames:
+        raise ValueError("stack_frames: empty frame sequence")
     n_dev = mesh.shape[axis]
     pcds, valids, images, positions, quaternions = [], [], [], [], []
     for f in frames:

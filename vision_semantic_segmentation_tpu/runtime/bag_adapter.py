@@ -70,8 +70,14 @@ def play_bag(
     """
     topic_map = {**DEFAULT_TOPIC_MAP, **(topic_map or {})}
     count = 0
+    # image_transport records often carry BOTH the raw and compressed
+    # variants of one camera stream; when several source topics rename onto
+    # one bus topic, the first seen owns it (no double-publishing frames)
+    owner: Dict[str, str] = {}
     for rec in RosbagReader(bag_path).read_messages():
         topic = topic_map.get(rec.topic, rec.topic)
+        if topic != rec.topic and owner.setdefault(topic, rec.topic) != rec.topic:
+            continue
         msg = rec.message
         if isinstance(msg, TFMessageMsg):
             if tf_tree is not None:
@@ -117,21 +123,33 @@ def bag_to_frames(
 ):
     """Convert a bag into replayable FrameRecords (nearest-stamp sync).
 
-    Host-side equivalent of the mapping node's queue sync
-    (ref mapping.py:185-219), for exporting bags to the ``.npz`` replay
-    format: each image frame is paired with the nearest pose and the
-    nearest cloud by header stamp.
+    Host-side equivalent of the mapping node's queue sync for exporting
+    bags to the ``.npz`` replay format: each image frame is paired with the
+    nearest pose and the nearest cloud by header stamp.  True
+    nearest-neighbor selection is used here (the node's
+    ``nearest_stamp_index`` mirrors the reference's queue-walk, ref
+    mapping.py:185-219, whose bracketing test skips exact-equal stamps and
+    falls through to the newest entry — correct for its consume-as-you-go
+    queues, wrong for a full recorded timeline).
     """
-    from .bus import nearest_stamp_index
     from .io import FrameRecord
 
+    def nearest(stamps: np.ndarray, target: float) -> int:
+        return int(np.argmin(np.abs(stamps - target)))
+
     wanted = {image_topic, pcd_topic, pose_topic}
-    # accept bag topics that the default republisher renames map onto
-    aliases = [t for t, v in DEFAULT_TOPIC_MAP.items() if v in wanted]
+    # accept bag topics that the default republisher renames map onto,
+    # but let only ONE source per bus topic contribute (raw + compressed
+    # variants of the same stream would otherwise duplicate every frame)
+    aliases = {t: v for t, v in DEFAULT_TOPIC_MAP.items() if v in wanted}
+    owner: dict = {}
     images, clouds, poses = [], [], []
     for rec in RosbagReader(bag_path).read_messages(
-        topics=list(wanted) + aliases
+        topics=list(wanted) + list(aliases)
     ):
+        target = aliases.get(rec.topic, rec.topic)
+        if rec.topic != target and owner.setdefault(target, rec.topic) != rec.topic:
+            continue
         msg = rec.message
         if isinstance(msg, (ImageMsg, CompressedImageMsg)):
             images.append((msg.header.stamp or rec.stamp, msg))
@@ -145,13 +163,13 @@ def bag_to_frames(
             f"{bag_path}: need images ({len(images)}), clouds "
             f"({len(clouds)}) and poses ({len(poses)}) to build frames"
         )
-    cloud_stamps = [s for s, _ in clouds]
-    pose_stamps = [s for s, _ in poses]
+    cloud_stamps = np.array([s for s, _ in clouds])
+    pose_stamps = np.array([s for s, _ in poses])
     frames = []
     camera = _camera_of_topic(image_topic)
     for stamp, img in images:
-        cloud = clouds[nearest_stamp_index(cloud_stamps, stamp)][1]
-        pose = poses[nearest_stamp_index(pose_stamps, stamp)][1]
+        cloud = clouds[nearest(cloud_stamps, stamp)][1]
+        pose = poses[nearest(pose_stamps, stamp)][1]
         frames.append(
             FrameRecord(
                 pcd=cloud.xyzi(),

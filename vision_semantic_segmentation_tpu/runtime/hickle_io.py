@@ -213,6 +213,7 @@ def _attr_token(attrs, *names) -> str:
 
 def _decode_key(name: str, attrs) -> Any:
     """Recover a dict key from a child node name."""
+    name = name.replace("\\x2f", "/")  # writer-escaped '/' (see _write_node)
     token = _attr_token(attrs, "key_base_type", "key_type")
     if token in ("str", "unicode", "bytes") or token.startswith("string"):
         if len(name) >= 2 and name[0] == name[-1] and name[0] in "'\"":
@@ -384,6 +385,9 @@ def _write_node(parent, name: str, obj: Any) -> None:
             if not isinstance(key, (str, int, float, bool, tuple)):
                 raise TypeError(f"unsupported dict key type: {type(key)}")
             child = repr(key) if not isinstance(key, str) else f"'{key}'"
+            # '/' would create nested HDF5 groups and corrupt the key
+            # (e.g. ROS-topic-named keys); escape it reversibly
+            child = child.replace("/", "\\x2f")
             _write_node(grp, child, value)
             kt = type(key).__name__.encode()
             grp[child].attrs["key_base_type"] = kt

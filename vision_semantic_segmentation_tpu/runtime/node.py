@@ -217,11 +217,19 @@ class MappingNode:
         """
         if self.tf_tree is None or camera in self._tf_cameras_registered:
             return
-        self._tf_cameras_registered.add(camera)
+        if any(key[0] == camera for key in self.engine._step_fns):
+            # projection already compiled with the built-in extrinsics; a
+            # late TF broadcast can no longer take effect for this camera
+            self._tf_cameras_registered.add(camera)
+            return
         try:
             T_cam_to_base = self.tf_tree.lookup("base_link", camera)
         except LookupError:
-            return  # no TF calibration broadcast: keep the built-in setup
+            # no TF calibration broadcast YET — retry on later frames (the
+            # calibration may arrive after the first image, e.g. when the
+            # first frames are dropped waiting for pose/cloud sync)
+            return
+        self._tf_cameras_registered.add(camera)
         from ..geometry.camera import camera_from_extrinsic, get_camera
 
         T_cam_to_velo = (

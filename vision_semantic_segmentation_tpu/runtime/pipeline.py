@@ -53,13 +53,31 @@ class FusedFramePipeline:
         engine: Optional[SemanticMappingEngine] = None,
         compute_dtype=jnp.bfloat16,
         undistort: bool = False,
+        distortion: Optional[str] = None,
     ):
-        """``undistort=True`` folds the per-camera inverse-distortion remap
-        (ref node:85-87) into the fused program, using precomputed maps."""
+        """Args:
+            distortion: how lens distortion is handled per frame —
+              * ``'none'``   — input frames are already rectified/pinhole;
+              * ``'image'``  — fold the per-camera inverse-distortion remap
+                (ref node:85-87) into the fused program.  Reference-exact
+                dataflow, but the 2.7M-pixel bilinear gather costs more
+                than the DeepLab forward on TPU (66 ms vs 43 ms measured
+                at 1440x1920);
+              * ``'points'`` — segment the RAW frame and apply the
+                plumb-bob forward model to the ~1e5 projected points
+                instead (engine ``distorted_image`` mode).  Geometrically
+                equivalent label association at negligible cost — the
+                TPU-first production path.
+            undistort: deprecated alias for ``distortion='image'``.
+        """
+        if distortion is None:
+            distortion = "image" if undistort else "none"
+        assert distortion in ("none", "image", "points"), distortion
+        self.distortion = distortion
         self.cfg = cfg
         self.engine = engine or SemanticMappingEngine(cfg)
         self._undistort_maps = {}
-        if undistort:
+        if distortion == "image":
             for cam_name, cam in self.engine.cameras.items():
                 if cam.dist is not None and cam.im_size is not None:
                     self._undistort_maps[cam_name] = jnp.asarray(cam.undistort_maps())
@@ -76,7 +94,8 @@ class FusedFramePipeline:
 
     def _build(self, camera: str, image_hw: Tuple[int, int], velodyne_frame: bool):
         pointwise = self.engine._build_pointwise(
-            camera, velodyne_frame, image_is_class_id=True, image_full_hw=image_hw
+            camera, velodyne_frame, image_is_class_id=True, image_full_hw=image_hw,
+            distorted_image=(self.distortion == "points"),
         )
         apply_update = self.engine._build_update()
         model = self.model

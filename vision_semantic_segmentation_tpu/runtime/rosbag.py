@@ -332,12 +332,24 @@ class RosbagReader:
 
         with open(self.path, "rb") as f:
             f.seek(self._start)
-            buf = f.read()
+            yield from self._scan(f, connections, want, raw)
 
-        off = 0
-        while off < len(buf):
-            header, data, off = _read_record(buf, off)
+    def _scan(self, f, connections, want, raw) -> Iterator[BagMessage]:
+        """Stream top-level records from the file handle — one record (and
+        one decompressed chunk) in memory at a time, so multi-GB bags read
+        in bounded memory."""
+        while True:
+            hlen_b = f.read(4)
+            if len(hlen_b) < 4:
+                return
+            (hlen,) = _U32.unpack(hlen_b)
+            header = _parse_header(f.read(hlen))
+            (dlen,) = _U32.unpack(f.read(4))
             op = header.get(b"op", b"\x00")[0]
+            if op not in (OP_CONNECTION, OP_CHUNK, OP_MESSAGE_DATA):
+                f.seek(dlen, 1)  # skip index/chunk-info/bag-header payloads
+                continue
+            data = f.read(dlen)
             if op == OP_CONNECTION:
                 conn = int.from_bytes(header[b"conn"], "little")
                 fields = _parse_header(data)
@@ -373,7 +385,6 @@ class RosbagReader:
                 msg = self._emit(header, data, connections, want, raw)
                 if msg is not None:
                     yield msg
-            # index / chunk-info / bag-header records are skipped
 
     @staticmethod
     def _emit(header, data, connections, want, raw) -> Optional[BagMessage]:
