@@ -200,3 +200,40 @@ def test_replay_empty_dir_warns(tmp_path, capsys):
     maps = MappingReplay(cfg).replay_dir()
     assert maps == []
     assert "no sequence files" in capsys.readouterr().err
+
+
+class TestExportCommand:
+    def test_export_bag_to_npz(self, rng, tmp_path):
+        from test_rosbag import _make_bag
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.runtime.io import load_frames
+
+        bag = tmp_path / "seq.bag"
+        _make_bag(bag, rng)
+        out = str(tmp_path / "seq.npz")
+        main(["export", str(bag), "--out", out])
+        frames = load_frames(out)
+        assert len(frames) == 3
+        assert frames[1].position[0] == 1.0
+
+    def test_export_hkl_to_npz(self, rng, tmp_path):
+        import numpy as np
+
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.runtime.hickle_io import dump_hickle
+        from vision_semantic_segmentation_tpu.runtime.io import load_frames
+
+        input_list = [{
+            "pcd": rng.random((4, 12)),
+            "pcd_frame_id": "world",
+            "semantic_image": np.zeros((4, 4, 3), np.uint8),
+            "pose": {
+                "position": {"x": 3.0, "y": 1.0, "z": 0.0},
+                "orientation": {"x": 0.0, "y": 0.0, "z": 0.0, "w": 1.0},
+            },
+        }]
+        src = str(tmp_path / "input_list_0.hkl")
+        dump_hickle(input_list, src)
+        main(["export", src])
+        frames = load_frames(str(tmp_path / "input_list_0.npz"))
+        assert len(frames) == 1 and frames[0].position[0] == 3.0

@@ -99,6 +99,33 @@ def cmd_convert(args):
     print(f"wrote {out}")
 
 
+def cmd_export(args):
+    """Carry a recorded input over to the native .npz replay format.
+
+    Accepts the reference's hickle dumps (``.hkl``), pickled input lists
+    (``.pkl``), and ROS bag recordings (``.bag``).
+    """
+    import os.path as osp
+
+    from .runtime.io import load_reference_dump, save_frames
+
+    src = args.input
+    if src.endswith(".bag"):
+        from .runtime.bag_adapter import bag_to_frames
+
+        frames = bag_to_frames(
+            src,
+            image_topic=args.image_topic,
+            pcd_topic=args.pcd_topic,
+            pose_topic=args.pose_topic,
+        )
+    else:
+        frames = load_reference_dump(src)
+    out = args.out or osp.splitext(src)[0] + ".npz"
+    save_frames(frames, out)
+    print(f"wrote {out} ({len(frames)} frames)")
+
+
 def cmd_video(args):
     from .config import get_demo_cfg_defaults, resolve_output_dir
 
@@ -140,6 +167,16 @@ def main(argv=None):
     p.add_argument("pth")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser(
+        "export", help="convert a recorded input (.hkl/.pkl/.bag) to .npz"
+    )
+    p.add_argument("input")
+    p.add_argument("--out", default=None)
+    p.add_argument("--image-topic", default="/camera1/image_raw")
+    p.add_argument("--pcd-topic", default="/reduced_map")
+    p.add_argument("--pose-topic", default="/current_pose")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("video", help="segmentation overlay video demo")
     p.add_argument("--cfg", default="", metavar="FILE")
