@@ -446,3 +446,25 @@ class TestFrameParallelReplayDriver:
         grid_seq = np.asarray(replay.run_frames(frames))
         grid_fp = np.asarray(replay.run_frames_parallel(frames))
         np.testing.assert_allclose(grid_fp, grid_seq, rtol=1e-5, atol=1e-5)
+
+
+class TestReplayPrefetch:
+    def test_prefetch_matches_sync(self, rng, tmp_path):
+        """Host double-buffered staging must not change results."""
+        import numpy as np
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        replay = MappingReplay(cfg)
+        # mixed sequence: homogeneous stretches + a camera switch forcing
+        # chunk boundaries and a single-frame fallback chunk
+        frames = _make_sequence(rng, cfg, n_frames=7, n_pts=900)
+        frames[3] = FrameRecord(
+            pcd=frames[3].pcd, pcd_frame_id=frames[3].pcd_frame_id,
+            semantic_image=frames[3].semantic_image,
+            position=frames[3].position, quaternion=frames[3].quaternion,
+            camera="camera6", stamp=frames[3].stamp,
+        )
+        a = np.asarray(replay.run_frames(frames, window=3, prefetch=False))
+        b = np.asarray(replay.run_frames(frames, window=3, prefetch=True))
+        np.testing.assert_array_equal(a, b)

@@ -43,22 +43,14 @@ class MappingReplay:
         self.label_colors = np.array(cfg.LABEL_COLORS, dtype=np.uint8)
 
     # -- core loop -----------------------------------------------------------
-    def run_frames(self, frames: Sequence[FrameRecord], window: int = 8):
-        """Fuse a frame sequence into a fresh grid; returns the device grid.
-
-        Homogeneous stretches (same camera / image shape / cloud frame) are
-        fused ``window`` frames per device dispatch via lax.scan; anything
-        irregular falls back to per-frame steps.
-        """
-        engine = self.engine
-        grid = engine.init_grid()
-        bucket = engine.point_bucket
+    @staticmethod
+    def _chunk_frames(frames: Sequence[FrameRecord], window: int):
+        """Split into homogeneous stretches of <= window frames."""
 
         def frame_key(f):
             return (f.camera, f.pcd_frame_id, np.asarray(f.semantic_image).shape)
 
-        i = 0
-        n = len(frames)
+        i, n = 0, len(frames)
         while i < n:
             j = i + 1
             while (
@@ -67,35 +59,82 @@ class MappingReplay:
                 and frame_key(frames[j]) == frame_key(frames[i])
             ):
                 j += 1
-            chunk = frames[i:j]
+            yield frames[i:j]
+            i = j
+
+    def _stage(self, chunk):
+        """Host-side staging of one chunk: pad, stack, start device copies.
+
+        Runs on the prefetch thread so stacking the next window's ~150 MB
+        overlaps the device fusing the current one (jax.device_put is
+        async; the arrays land in HBM while the previous dispatch runs).
+        """
+        import jax
+
+        if len(chunk) == 1:
+            return None  # single frames go through engine.step directly
+        bucket = self.engine.point_bucket
+        padded = [
+            pad_points(np.asarray(f.pcd, dtype=np.float32), bucket) for f in chunk
+        ]
+        return {
+            "image": jax.device_put(np.stack([f.semantic_image for f in chunk])),
+            "pcd": jax.device_put(np.stack([p for p, _ in padded])),
+            "valid": jax.device_put(np.stack([v for _, v in padded])),
+            "position": jax.device_put(
+                np.stack([np.asarray(f.position, np.float32) for f in chunk])
+            ),
+            "quaternion": jax.device_put(
+                np.stack([np.asarray(f.quaternion, np.float32) for f in chunk])
+            ),
+        }
+
+    def run_frames(
+        self, frames: Sequence[FrameRecord], window: int = 8, prefetch: bool = True
+    ):
+        """Fuse a frame sequence into a fresh grid; returns the device grid.
+
+        Homogeneous stretches (same camera / image shape / cloud frame) are
+        fused ``window`` frames per device dispatch via lax.scan; anything
+        irregular falls back to per-frame steps.  With ``prefetch`` the
+        next window is padded/stacked/staged to HBM on a worker thread
+        while the device fuses the current one (host double-buffering,
+        SURVEY.md section 7 "host/device pipelining").
+        """
+        engine = self.engine
+        grid = engine.init_grid()
+        bucket = engine.point_bucket
+        chunks = list(self._chunk_frames(frames, window))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def dispatch(grid, chunk, staged):
             if len(chunk) > 1:
                 runner = engine.build_sequence_runner(
                     camera=chunk[0].camera, pcd_frame_id=chunk[0].pcd_frame_id
                 )
-                padded = [
-                    pad_points(np.asarray(f.pcd, dtype=np.float32), bucket)
-                    for f in chunk
-                ]
-                stacked = {
-                    "image": jnp.asarray(np.stack([f.semantic_image for f in chunk])),
-                    "pcd": jnp.asarray(np.stack([p for p, _ in padded])),
-                    "valid": jnp.asarray(np.stack([v for _, v in padded])),
-                    "position": jnp.asarray(
-                        np.stack([np.asarray(f.position, np.float32) for f in chunk])
-                    ),
-                    "quaternion": jnp.asarray(
-                        np.stack([np.asarray(f.quaternion, np.float32) for f in chunk])
-                    ),
-                }
-                grid = runner(grid, stacked)
-            else:
-                f = chunk[0]
-                pcd, valid = pad_points(np.asarray(f.pcd, dtype=np.float32), bucket)
-                grid, _, _ = engine.step(
-                    grid, pcd, valid, f.semantic_image, f.position, f.quaternion,
-                    camera=f.camera, pcd_frame_id=f.pcd_frame_id,
-                )
-            i = j
+                return runner(grid, staged)
+            f = chunk[0]
+            pcd, valid = pad_points(np.asarray(f.pcd, dtype=np.float32), bucket)
+            grid, _, _ = engine.step(
+                grid, pcd, valid, f.semantic_image, f.position, f.quaternion,
+                camera=f.camera, pcd_frame_id=f.pcd_frame_id,
+            )
+            return grid
+
+        if not prefetch or len(chunks) <= 1:
+            for chunk in chunks:
+                staged = self._stage(chunk) if len(chunk) > 1 else None
+                grid = dispatch(grid, chunk, staged)
+            return grid
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = pool.submit(self._stage, chunks[0])
+            for i, chunk in enumerate(chunks):
+                staged = pending.result()
+                if i + 1 < len(chunks):
+                    pending = pool.submit(self._stage, chunks[i + 1])
+                grid = dispatch(grid, chunk, staged)
         return grid
 
     def run_frames_parallel(
