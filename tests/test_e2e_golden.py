@@ -311,6 +311,10 @@ def golden_bag(tmp_path_factory):
     cfg.MAPPING.PCD.RANGE_MAX = 16.0
     cfg.VISION_SEM_SEG.IMAGE_SCALE = 0.0667  # -> 96x128, = train resolution
     cfg.VISION_SEM_SEG.UNDISTORT = False  # frames are rendered pinhole
+    # argmax at 96x128 instead of the decoder's 24x32 (the reference's
+    # upsample_pred=False default costs the thin lane class dearly at
+    # reduced IMAGE_SCALE)
+    cfg.VISION_SEM_SEG.UPSAMPLE_PRED = True
     cfg_path = str(root / "golden.yaml")
     with open(cfg_path, "w") as f:
         f.write(cfg.dump())
@@ -351,17 +355,93 @@ class TestGoldenPipeline:
         evaluator = MapEvaluator(ground_truth_dir=golden_bag["gt_dir"])
         result = evaluator.test_single_map(color_map)
 
-        # Pinned quality floor for the synthetic scene (measured road 0.83,
-        # crosswalk 0.87, lane 0.27, missing 1.3% with margin for library
+        # Pinned quality floor for the synthetic scene (measured road 0.85,
+        # crosswalk 0.93, lane 0.28, missing 0.5% with margin for library
         # drift).  The residual error is label quantization at the network
         # input scale projected to the ground; the thin 0.8 m lane stripes
         # are hardest (radial ground quantization is 0.4-0.9 m per network
         # pixel row at the far end of each viewpoint's wedge).
         assert result["iou"]["road"] >= 0.75, result
-        assert result["iou"]["crosswalk"] >= 0.70, result
+        assert result["iou"]["crosswalk"] >= 0.80, result
         assert result["iou"]["lane"] >= 0.20, result
-        assert result["miou"] >= 0.55, result
+        assert result["miou"] >= 0.58, result
         assert result["missing_rate"] <= 0.05, result
+
+    def test_cli_pipeline_from_rosbag(self, golden_bag):
+        """The same pipeline driven from a ROS .bag recording: container
+        serialization -> bag adapter -> nodes -> map (subset of frames,
+        loose quality floor — full coverage is the .npz test's job)."""
+        import glob
+
+        import cv2
+
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.evaluation.map_eval import MapEvaluator
+        from vision_semantic_segmentation_tpu.runtime.rosbag import (
+            Header,
+            ImageMsg,
+            PointCloud2Msg,
+            PointField,
+            PoseStampedMsg,
+            write_bag,
+        )
+
+        subset = golden_bag["frames"][::5]  # 10 frames
+        msgs = []
+        fields = [
+            PointField("x", 0, 7, 1),
+            PointField("y", 4, 7, 1),
+            PointField("z", 8, 7, 1),
+            PointField("intensity", 12, 7, 1),
+        ]
+        for f in subset:
+            pts = np.asarray(f.pcd, np.float32)
+            pc2 = PointCloud2Msg(
+                Header(0, f.stamp, "/world"), 1, pts.shape[1], fields, 16,
+                np.ascontiguousarray(pts.T).tobytes(),
+            )
+            msgs.append(("/reduced_map", pc2, f.stamp))
+            msgs.append((
+                "/current_pose",
+                PoseStampedMsg(
+                    Header(0, f.stamp, "/world"), f.position, f.quaternion
+                ),
+                f.stamp,
+            ))
+            msgs.append((
+                "/camera1/image_raw",
+                ImageMsg(
+                    Header(0, f.stamp, "camera1"),
+                    f.semantic_image.shape[0], f.semantic_image.shape[1],
+                    "rgb8", f.semantic_image,
+                ),
+                f.stamp,
+            ))
+        bag_path = str(golden_bag["root"] / "drive.bag")
+        write_bag(bag_path, msgs)
+
+        main(["pipeline", "--cfg", golden_bag["cfg_path"], "--bag", bag_path])
+
+        candidates = sorted(
+            glob.glob(
+                osp.join(str(golden_bag["root"]), "out", "**", "global_map.png"),
+                recursive=True,
+            )
+        )
+        from vision_semantic_segmentation_tpu.evaluation.map_eval import (
+            convert_labels,
+        )
+
+        color_map = cv2.imread(candidates[-1])
+        evaluator = MapEvaluator(ground_truth_dir=golden_bag["gt_dir"])
+        generated = convert_labels(np.asarray(color_map))
+        truth = evaluator._crop_truth(generated)
+        mapped = generated > 0
+        # 10 of 50 frames: coverage is partial by construction, but the
+        # cells that ARE mapped must carry the right class
+        assert mapped.mean() > 0.10, float(mapped.mean())
+        precision = float(np.mean((truth == generated)[mapped]))
+        assert precision > 0.80, precision
 
     def test_float64_host_reference_matches_device_map(self, golden_bag):
         """f64 numpy reference of the whole post-network pipeline vs the

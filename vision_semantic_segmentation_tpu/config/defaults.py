@@ -62,6 +62,13 @@ _C.VISION_SEM_SEG.IMAGE_SCALE = 1.0
 # coefficients (ref node:85-87).  Disable for pre-rectified / synthetic
 # feeds whose geometry is already pinhole.
 _C.VISION_SEM_SEG.UNDISTORT = True
+# Bilinearly upsample logits to the network input size before the argmax
+# (align_corners, inside the jitted forward).  The reference always
+# argmaxes at the decoder's os4 resolution (semantic_segmentation.py:55,
+# upsample_pred=False) — fine at IMAGE_SCALE=1.0, but at reduced scales
+# the label map becomes (H*scale/4, W*scale/4); enabling this recovers
+# 4x finer class boundaries for ~zero cost.
+_C.VISION_SEM_SEG.UPSAMPLE_PRED = False
 
 _network = get_demo_cfg_defaults()
 _network.TRAIN_DATASET = "Mapillary"

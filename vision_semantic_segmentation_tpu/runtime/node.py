@@ -57,6 +57,11 @@ class SegmentationNode:
             if "UNDISTORT" in cfg.VISION_SEM_SEG
             else True
         )
+        self.upsample_pred = (
+            bool(cfg.VISION_SEM_SEG.UPSAMPLE_PRED)
+            if "UPSAMPLE_PRED" in cfg.VISION_SEM_SEG
+            else False
+        )
         self._undistort_maps: Dict[str, np.ndarray] = {}
         for cam in cameras:
             if undistort:
@@ -86,7 +91,9 @@ class SegmentationNode:
             undistort_map=self._undistort_maps.get(camera),
             image_scale=self.image_scale,
         )
-        labels = self.predictor.segmentation(np.asarray(x), upsample_pred=False)
+        labels = self.predictor.segmentation(
+            np.asarray(x), upsample_pred=self.upsample_pred
+        )
 
         if self.publish_hulls:
             # crosswalk (class 1) and road (class 2) hulls on the ground
