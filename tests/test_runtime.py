@@ -468,3 +468,56 @@ class TestReplayPrefetch:
         a = np.asarray(replay.run_frames(frames, window=3, prefetch=False))
         b = np.asarray(replay.run_frames(frames, window=3, prefetch=True))
         np.testing.assert_array_equal(a, b)
+
+
+class TestDualCameraPipeline:
+    """BASELINE config 4: both vehicle cameras fuse into one grid through
+    the node pipeline (camera1 + camera6 calibrations)."""
+
+    def test_both_cameras_contribute(self, rng, tmp_path):
+        import jax.numpy as jnp
+
+        from vision_semantic_segmentation_tpu.inference.predictor import (
+            SemanticSegmentation,
+        )
+        from vision_semantic_segmentation_tpu.models import build_model
+
+        cfg = small_cfg(tmp_path)
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+        model, *_ = build_model(net_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3), jnp.float32)
+        )
+        predictor = SemanticSegmentation(
+            net_cfg, variables=variables, compute_dtype="float32"
+        )
+
+        bus = TopicBus()
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        SegmentationNode(cfg, bus, predictor=predictor,
+                         cameras=("camera1", "camera6"))
+        node = MappingNode(cfg, bus, engine=engine)
+
+        from test_mapping import make_frame
+
+        pts, _, position, quaternion = make_frame(rng, cfg, n=900)
+        raw = (rng.random((1440, 1920, 3)) * 255).astype(np.uint8)
+
+        bus.publish("/reduced_map", pts, stamp=0.0, frame_id="world")
+        bus.publish("/current_pose", (position, quaternion), stamp=0.0)
+        bus.publish("/camera1/image_raw", raw, stamp=0.1, frame_id="camera1")
+        grid_after_cam1 = np.asarray(node.grid).copy()
+        bus.publish("/reduced_map", pts, stamp=0.2, frame_id="world")
+        bus.publish("/current_pose", (position, quaternion), stamp=0.2)
+        bus.publish("/camera6/image_raw", raw, stamp=0.3, frame_id="camera6")
+        grid_after_cam6 = np.asarray(node.grid)
+
+        # both cameras compiled their own projections and both added
+        # evidence (the cameras face different directions, so the second
+        # update is not a no-op duplicate of the first)
+        assert ("camera1", False) in engine._step_fns
+        assert ("camera6", False) in engine._step_fns
+        assert grid_after_cam1.sum() > 0
+        assert grid_after_cam6.sum() > grid_after_cam1.sum()
+        assert node.fused_frames == 2
