@@ -170,15 +170,26 @@ class PointCloud2Msg:
         """(4, N) float32 x, y, z, intensity (0 when absent).
 
         Equivalent of the reference's per-point ``pc2.read_points`` loop
-        (ref mapping.py:172-183), vectorized with a strided view.
+        (ref mapping.py:172-183).  The common all-float32 layout routes
+        through the native C++ decoder (single strided pass,
+        native/pointcloud.cpp); other layouts fall back to numpy views.
+        NaN returns survive here and are rejected by the projection masks.
         """
         n = self.height * self.width
+        by_name = {f.name: f for f in self.fields}
+        needed = [by_name.get(name) for name in ("x", "y", "z", "intensity")]
+        if all(f is not None and f.datatype == 7 for f in needed):
+            from .native_io import decode_pointcloud2
+
+            return decode_pointcloud2(
+                self.data, n, self.point_step,
+                offsets=[f.offset for f in needed],
+                datatypes=[7] * 4, skip_nans=False,
+            )
         raw = np.frombuffer(self.data, np.uint8)[: n * self.point_step]
         raw = raw.reshape(n, self.point_step)
-        by_name = {f.name: f for f in self.fields}
         cols = []
-        for name in ("x", "y", "z", "intensity"):
-            f = by_name.get(name)
+        for f in needed:
             if f is None:
                 cols.append(np.zeros(n, np.float32))
                 continue
