@@ -94,8 +94,10 @@ def main():
         "quaternion": jnp.asarray(np.tile([0, 0, 0, 1.0], (T, 1)).astype(np.float32)),
     }
     run = engine.build_sequence_runner()
+    # the runner donates the grid buffer: always thread the returned grid
     grid = engine.init_grid()
-    _ = float(jnp.sum(run(grid, frames)[:1, :1]))
+    grid = run(grid, frames)
+    _ = float(jnp.sum(grid[:1, :1]))
     t0 = time.perf_counter()
     for _ in range(2):
         grid = run(grid, frames)

@@ -420,14 +420,14 @@ class TestGoldenPipeline:
         bag_path = str(golden_bag["root"] / "drive.bag")
         write_bag(bag_path, msgs)
 
+        pattern = osp.join(str(golden_bag["root"]), "out", "**", "global_map.png")
+        before = set(glob.glob(pattern, recursive=True))
         main(["pipeline", "--cfg", golden_bag["cfg_path"], "--bag", bag_path])
+        candidates = sorted(set(glob.glob(pattern, recursive=True)) - before)
+        # the bag run must write its OWN map: a stale map from the .npz
+        # test passing here would mask a dead rosbag path
+        assert candidates, "bag pipeline produced no new global_map.png"
 
-        candidates = sorted(
-            glob.glob(
-                osp.join(str(golden_bag["root"]), "out", "**", "global_map.png"),
-                recursive=True,
-            )
-        )
         from vision_semantic_segmentation_tpu.evaluation.map_eval import (
             convert_labels,
         )

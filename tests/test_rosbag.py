@@ -388,3 +388,53 @@ class TestTFRegistrationRetry:
         )
         node._maybe_register_tf_camera("camera1")
         assert "camera1" in node._tf_cameras_registered
+
+
+class TestMalformedPayloads:
+    def test_truncated_pointcloud_raises(self):
+        from vision_semantic_segmentation_tpu.runtime.rosbag import (
+            PointCloud2Msg,
+            PointField,
+            Header,
+        )
+
+        fields = [PointField(n, o, 7, 1) for n, o in
+                  [("x", 0), ("y", 4), ("z", 8), ("intensity", 12)]]
+        msg = PointCloud2Msg(Header(0, 1.0, "w"), 1, 100, fields, 16, b"\x00" * 64)
+        with pytest.raises(ValueError, match="truncated"):
+            msg.xyzi()
+
+    def test_out_of_bounds_field_offset_raises(self):
+        from vision_semantic_segmentation_tpu.runtime.rosbag import (
+            PointCloud2Msg,
+            PointField,
+            Header,
+        )
+
+        fields = [PointField("x", 0, 7, 1), PointField("y", 4, 7, 1),
+                  PointField("z", 8, 7, 1), PointField("intensity", 14, 7, 1)]
+        msg = PointCloud2Msg(Header(0, 1.0, "w"), 1, 4, fields, 16, b"\x00" * 64)
+        with pytest.raises(ValueError, match="offset"):
+            msg.xyzi()
+
+    def test_avt_image_topic_export_camera_name(self, rng, tmp_path):
+        """bag_to_frames with the raw AVT topic must still tag camera1."""
+        from vision_semantic_segmentation_tpu.runtime.bag_adapter import bag_to_frames
+
+        img = (rng.random((4, 4, 3)) * 255).astype(np.uint8)
+        pts = rng.random((4, 8)).astype(np.float32)
+        msgs = [
+            ("/reduced_map", _pc2(10.0, "/world", pts), 10.0),
+            ("/current_pose", PoseStampedMsg(
+                Header(0, 10.0, "/world"), np.zeros(3),
+                np.array([0, 0, 0, 1.0])), 10.0),
+            ("/avt_cameras/camera1/image_color", ImageMsg(
+                Header(0, 10.0, "camera1"), 4, 4, "rgb8", img), 10.0),
+        ]
+        path = str(tmp_path / "avt2.bag")
+        write_bag(path, msgs)
+        frames = bag_to_frames(
+            path, image_topic="/avt_cameras/camera1/image_color"
+        )
+        assert len(frames) == 1
+        assert frames[0].camera == "camera1"

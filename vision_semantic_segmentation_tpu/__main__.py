@@ -9,6 +9,7 @@ CLI:
     python -m vision_semantic_segmentation_tpu train    --cfg train.yaml [KEY VALUE ...]
     python -m vision_semantic_segmentation_tpu eval     --maps dir --gt dir
     python -m vision_semantic_segmentation_tpu convert  ckpt.pth [--out ckpt.npz]
+    python -m vision_semantic_segmentation_tpu export   input.{hkl,pkl,bag} [--out f.npz]
     python -m vision_semantic_segmentation_tpu video    --cfg demo.yaml --video in.mp4
 """
 from __future__ import annotations

@@ -166,7 +166,9 @@ def bag_to_frames(
     cloud_stamps = np.array([s for s, _ in clouds])
     pose_stamps = np.array([s for s, _ in poses])
     frames = []
-    camera = _camera_of_topic(image_topic)
+    # derive the camera id from the BUS-side topic so AVT source names
+    # (e.g. /avt_cameras/camera1/image_color) still yield 'camera1'
+    camera = _camera_of_topic(DEFAULT_TOPIC_MAP.get(image_topic, image_topic))
     for stamp, img in images:
         cloud = clouds[nearest(cloud_stamps, stamp)][1]
         pose = poses[nearest(pose_stamps, stamp)][1]

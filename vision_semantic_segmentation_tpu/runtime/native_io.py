@@ -26,12 +26,17 @@ _FIELD_DTYPES = {
 }
 
 _lib = None
+_lib_failed = False
 
 
 def _load_library():
-    global _lib
+    global _lib, _lib_failed
     if _lib is not None:
         return _lib
+    if _lib_failed:
+        # cache the failure: retrying `make` per decode call would put a
+        # subprocess spawn on the hot path of toolchain-less machines
+        return None
     if not osp.exists(_LIB_PATH):
         try:
             subprocess.run(
@@ -39,10 +44,12 @@ def _load_library():
                 check=True, capture_output=True, timeout=120,
             )
         except (subprocess.SubprocessError, FileNotFoundError):
+            _lib_failed = True
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
+        _lib_failed = True
         return None
 
     lib.decode_pointcloud2.restype = ctypes.c_int64

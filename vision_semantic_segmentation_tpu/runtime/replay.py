@@ -69,8 +69,6 @@ class MappingReplay:
         overlaps the device fusing the current one (jax.device_put is
         async; the arrays land in HBM while the previous dispatch runs).
         """
-        import jax
-
         if len(chunk) == 1:
             return None  # single frames go through engine.step directly
         bucket = self.engine.point_bucket

@@ -176,8 +176,19 @@ class PointCloud2Msg:
         NaN returns survive here and are rejected by the projection masks.
         """
         n = self.height * self.width
+        if len(self.data) < n * self.point_step:
+            raise ValueError(
+                f"PointCloud2 payload truncated: {len(self.data)} bytes for "
+                f"{n} points of {self.point_step}"
+            )
         by_name = {f.name: f for f in self.fields}
         needed = [by_name.get(name) for name in ("x", "y", "z", "intensity")]
+        for f in needed:
+            if f is not None and f.offset + 4 > self.point_step:
+                raise ValueError(
+                    f"PointCloud2 field {f.name!r} offset {f.offset} exceeds "
+                    f"point_step {self.point_step}"
+                )
         if all(f is not None and f.datatype == 7 for f in needed):
             from .native_io import decode_pointcloud2
 
