@@ -237,3 +237,46 @@ class TestExportCommand:
         main(["export", src])
         frames = load_frames(str(tmp_path / "input_list_0.npz"))
         assert len(frames) == 1 and frames[0].position[0] == 3.0
+
+
+class TestFusedPipelineCommand:
+    def test_fused_pipeline_over_npz(self, rng, tmp_path):
+        """--fused: windowed FusedFramePipeline end-to-end through the CLI."""
+        import glob
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from test_runtime import small_cfg, _make_sequence
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.models import build_model
+        from vision_semantic_segmentation_tpu.models.convert import save_npz
+        from vision_semantic_segmentation_tpu.runtime.io import save_frames
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+        net_cfg.MODEL.COMPUTE_DTYPE = "float32"
+
+        model, *_ = build_model(net_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3), jnp.float32)
+        )
+        weight = str(tmp_path / "w.npz")
+        save_npz(variables, weight)
+        net_cfg.MODEL.WEIGHT = weight
+
+        frames = _make_sequence(rng, cfg, n_frames=5, n_pts=800)
+        bag = str(tmp_path / "seq.npz")
+        save_frames(frames, bag)
+        cfg_path = str(tmp_path / "fused.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.dump())
+
+        main(["pipeline", "--cfg", cfg_path, "--bag", bag, "--fused"])
+        maps = glob.glob(
+            str(tmp_path / "out" / "**" / "global_map_fused.png"), recursive=True
+        )
+        assert maps, "fused pipeline wrote no map"

@@ -40,6 +40,9 @@ def cmd_pipeline(args):
 
     Accepts the native ``.npz`` frame format or a ROS ``.bag`` recording
     (replayed through the rosbag adapter, ref launch/camera1_mapping.launch).
+    ``--fused`` runs the single-dispatch production pipeline instead of the
+    two-node dataflow: whole frame windows per device dispatch, the grid
+    HBM-resident, distortion handled on the projected points.
     """
     from .mapping.engine import SemanticMappingEngine
     from .runtime.bus import TopicBus
@@ -48,6 +51,8 @@ def cmd_pipeline(args):
     from .utils.ros_compat import TransformTree
 
     cfg = _load_app_cfg(args.cfg)
+    if getattr(args, "fused", False):
+        return _fused_pipeline(cfg, args.bag)
     bus = TopicBus()
     SegmentationNode(cfg, bus)
     tf_tree = TransformTree()
@@ -67,6 +72,65 @@ def cmd_pipeline(args):
             bus.publish(f"/{f.camera}/image_raw", f.semantic_image, stamp=f.stamp, frame_id=f.camera)
     if node.grid is not None and node.finalized_map is None:
         node.finalize()
+
+
+def _fused_pipeline(cfg, bag_path: str):
+    """Raw frames -> FusedFramePipeline windows -> finalized map (+ eval)."""
+    import numpy as np
+
+    from .mapping.engine import SemanticMappingEngine, pad_points
+    from .runtime.io import load_frames, load_reference_dump
+    from .runtime.pipeline import FusedFramePipeline
+    from .runtime.replay import MappingReplay
+
+    if bag_path.endswith(".bag"):
+        from .runtime.bag_adapter import bag_to_frames
+
+        frames = bag_to_frames(bag_path)
+    elif bag_path.endswith(".npz"):
+        frames = load_frames(bag_path)
+    else:
+        frames = load_reference_dump(bag_path)
+    if not frames:
+        raise SystemExit(f"no frames in {bag_path}")
+
+    import jax.numpy as jnp
+
+    from .inference.predictor import SemanticSegmentation
+
+    net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+    predictor = SemanticSegmentation(net_cfg)  # loads MODEL.WEIGHT
+    engine = SemanticMappingEngine(cfg)
+    pipeline = FusedFramePipeline(
+        cfg, predictor.variables, engine=engine, distortion="points"
+    )
+    grid = pipeline.init_grid()
+    hw = frames[0].semantic_image.shape[:2]
+    runner = pipeline.build_sequence_runner(
+        camera=frames[0].camera, image_hw=hw,
+        pcd_frame_id=frames[0].pcd_frame_id,
+    )
+    bucket = engine.point_bucket
+    window = 8
+    for i in range(0, len(frames), window):
+        chunk = frames[i : i + window]
+        padded = [pad_points(np.asarray(f.pcd, np.float32), bucket) for f in chunk]
+        stacked = {
+            "image": jnp.asarray(np.stack([f.semantic_image for f in chunk])),
+            "pcd": jnp.asarray(np.stack([p for p, _ in padded])),
+            "valid": jnp.asarray(np.stack([v for _, v in padded])),
+            "position": jnp.asarray(
+                np.stack([np.asarray(f.position, np.float32) for f in chunk])
+            ),
+            "quaternion": jnp.asarray(
+                np.stack([np.asarray(f.quaternion, np.float32) for f in chunk])
+            ),
+        }
+        # the jitted runner specializes per window length; the remainder
+        # chunk (if any) costs one extra compile
+        grid = runner(grid, stacked)
+    # render/save/evaluate through the replay finalizer (same artifacts)
+    MappingReplay(cfg, engine=engine).finalize(grid, name="fused")
 
 
 def cmd_train(args):
@@ -150,7 +214,11 @@ def main(argv=None):
 
     p = sub.add_parser("pipeline", help="run seg+mapping nodes over a recorded bag")
     p.add_argument("--cfg", default="", metavar="FILE")
-    p.add_argument("--bag", required=True, help=".npz sequence file")
+    p.add_argument("--bag", required=True, help=".npz sequence or ROS .bag file")
+    p.add_argument(
+        "--fused", action="store_true",
+        help="single-dispatch production pipeline (windowed, HBM grid)",
+    )
     p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("train", help="train the segmentation network")
