@@ -664,3 +664,59 @@ class TestDistortedProjection:
         # nearly all points (block-interior points are insensitive)
         agree = np.mean(cls_u[both] == cls_d[both])
         assert agree > 0.97, agree
+
+
+class TestConfidenceWeightedUpdate:
+    """Weighted Bayesian evidence (softmax-confidence head extension)."""
+
+    def _setup(self, semantics):
+        cfg = small_cfg()
+        cfg.MAPPING.POINT_BUCKET = 64
+        engine = SemanticMappingEngine(
+            cfg, evidence=np.eye(5), duplicate_semantics=semantics
+        )
+        h, w = engine.grid_spec.height, engine.grid_spec.width
+        dense = engine._build_dense_update()
+        return engine, dense, h, w
+
+    @pytest.mark.parametrize("semantics", ["reference", "accumulate"])
+    def test_unit_weights_equal_unweighted(self, rng, semantics):
+        engine, dense, h, w = self._setup(semantics)
+        n = 64
+        cell = jnp.asarray(rng.integers(0, h * w, n), jnp.int32)
+        cls = jnp.asarray(rng.integers(0, 5, n), jnp.int32)
+        inten = jnp.asarray(rng.uniform(0, 20, n), jnp.float32)
+        upd = jnp.asarray(rng.random(n) < 0.8)
+        a = dense(engine.init_grid(), cell, cls, inten, upd, h, w)
+        b = dense(engine.init_grid(), cell, cls, inten, upd, h, w,
+                  weights=jnp.ones(n, jnp.float32))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_dedupe_takes_strongest_confidence(self):
+        engine, dense, h, w = self._setup("reference")
+        # three points in ONE (cell, class) segment with conf .3/.9/.5
+        cell = jnp.asarray([7, 7, 7, 9] + [0] * 60, jnp.int32)
+        cls = jnp.asarray([2, 2, 2, 1] + [0] * 60, jnp.int32)
+        conf = jnp.asarray([0.3, 0.9, 0.5, 0.6] + [0.0] * 60, jnp.float32)
+        upd = jnp.asarray([True] * 4 + [False] * 60)
+        inten = jnp.full((64,), 8.0, jnp.float32)
+        grid = np.asarray(
+            dense(engine.init_grid(), cell, cls, inten, upd, h, w, weights=conf)
+        )
+        r7, c7 = 7 // w, 7 % w
+        r9, c9 = 9 // w, 9 % w
+        assert grid[2, r7, c7] == pytest.approx(0.9)   # max, not sum
+        assert grid[1, r9, c9] == pytest.approx(0.6)
+
+    def test_accumulate_sums_confidences(self):
+        engine, dense, h, w = self._setup("accumulate")
+        cell = jnp.asarray([7, 7, 7] + [0] * 61, jnp.int32)
+        cls = jnp.asarray([2, 2, 2] + [0] * 61, jnp.int32)
+        conf = jnp.asarray([0.3, 0.9, 0.5] + [0.0] * 61, jnp.float32)
+        upd = jnp.asarray([True] * 3 + [False] * 61)
+        inten = jnp.full((64,), 8.0, jnp.float32)
+        grid = np.asarray(
+            dense(engine.init_grid(), cell, cls, inten, upd, h, w, weights=conf)
+        )
+        r7, c7 = 7 // w, 7 % w
+        assert grid[2, r7, c7] == pytest.approx(1.7)

@@ -521,3 +521,70 @@ class TestDualCameraPipeline:
         assert grid_after_cam1.sum() > 0
         assert grid_after_cam6.sum() > grid_after_cam1.sum()
         assert node.fused_frames == 2
+
+
+class TestConfidencePipeline:
+    def test_confidence_weighting_bounds_evidence(self, rng, tmp_path):
+        """Softmax-confidence weighting: same dataflow, evidence scaled by
+        the winning class's probability (<= the unweighted grid, > 0)."""
+        import jax.numpy as jnp
+
+        from test_mapping import make_frame
+        from vision_semantic_segmentation_tpu.models import build_model
+        from vision_semantic_segmentation_tpu.runtime.pipeline import (
+            FusedFramePipeline,
+        )
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+        net_cfg.DATASET.NUM_CLASSES = 19
+        model, *_ = build_model(net_cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        plain = FusedFramePipeline(cfg, variables, engine=engine,
+                                   compute_dtype=jnp.float32)
+        conf = FusedFramePipeline(cfg, variables, engine=engine,
+                                  compute_dtype=jnp.float32,
+                                  confidence_weighting=True)
+
+        pts, _, position, quaternion = make_frame(rng, cfg, n=1200)
+        raw = (rng.random((720, 960, 3)) * 255).astype(np.uint8)
+        from vision_semantic_segmentation_tpu.mapping.engine import pad_points
+
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        g1, _ = plain.step(plain.init_grid(), raw, pcd, valid, position, quaternion)
+        g2, _ = conf.step(conf.init_grid(), raw, pcd, valid, position, quaternion)
+        s1, s2 = float(np.asarray(g1).sum()), float(np.asarray(g2).sum())
+        assert 0 < s2 <= s1 + 1e-5
+        # a random-init network is nowhere fully confident
+        assert s2 < s1
+
+
+class TestConfidenceHead:
+    def test_labels_match_and_confidence_bounded(self, rng, tmp_path):
+        import jax.numpy as jnp
+
+        from vision_semantic_segmentation_tpu.inference.predictor import (
+            SemanticSegmentation,
+        )
+        from vision_semantic_segmentation_tpu.models import build_model
+
+        cfg = small_cfg(tmp_path)
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+        model, *_ = build_model(net_cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        predictor = SemanticSegmentation(
+            net_cfg, variables=variables, compute_dtype="float32"
+        )
+        img = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+        labels = predictor.segmentation(img)
+        labels_c, conf = predictor.segmentation_with_confidence(img)
+        np.testing.assert_array_equal(labels, labels_c)
+        assert conf.shape == labels.shape
+        assert np.all(conf > 0) and np.all(conf <= 1.0 + 1e-6)
+        # argmax class probability is at least uniform
+        assert np.all(conf >= 1.0 / 19 - 1e-6)

@@ -111,6 +111,44 @@ class SemanticSegmentation:
         preds = self._forward_cache[key](self.variables, jnp.asarray(image))
         return np.asarray(preds[0] if preds.shape[0] == 1 else preds)
 
+    def segmentation_with_confidence(
+        self, image: np.ndarray, upsample_pred: bool = False
+    ):
+        """uint8 RGB frame -> (label map, per-pixel confidence).
+
+        The fused softmax-confidence head: argmax labels plus the winning
+        class's softmax probability, computed inside ONE jitted program
+        (no second forward, no logits round-trip to host).  Confidence
+        feeds the engine's weighted Bayesian update
+        (``FusedFramePipeline(confidence_weighting=True)``).
+        """
+        key = ("conf", image.shape[0], image.shape[1], upsample_pred)
+        if key not in self._forward_cache:
+            while len(self._forward_cache) >= self._max_shapes:
+                self._forward_cache.popitem(last=False)
+
+            @jax.jit
+            def fwd(variables, image_u8):
+                x = image_u8.astype(jnp.float32) / 255.0
+                x = (x - self._mean) / self._std
+                if x.ndim == 3:
+                    x = x[None]
+                logits = self.model.apply(
+                    variables, x, train=False, upsample_pred=upsample_pred
+                )
+                labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+                return labels, conf
+
+            self._forward_cache[key] = fwd
+        else:
+            self._forward_cache.move_to_end(key)
+        labels, conf = self._forward_cache[key](self.variables, jnp.asarray(image))
+        squeeze = labels.shape[0] == 1
+        labels = np.asarray(labels[0] if squeeze else labels)
+        conf = np.asarray(conf[0] if squeeze else conf)
+        return labels, conf
+
     def logits(self, image: np.ndarray, upsample_pred: bool = False) -> Array:
         """Raw logits path for downstream fusion (confidence-aware mapping)."""
         x = jnp.asarray(image).astype(jnp.float32) / 255.0

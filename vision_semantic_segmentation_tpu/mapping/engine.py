@@ -205,6 +205,7 @@ class SemanticMappingEngine:
         image_is_class_id: bool = False,
         image_full_hw=None,
         distorted_image: bool = False,
+        return_pixels: bool = False,
     ):
         """Closure computing per-point (cell, cls, vis, upd, boost).
 
@@ -311,6 +312,10 @@ class SemanticMappingEngine:
                 boost = upd & (cls == lane) & ((intensity < 2) | (intensity > 14))
             else:
                 boost = None
+            if return_pixels:
+                # the (downscaled) gather coordinates, for callers that
+                # fetch extra per-point data (e.g. network confidence)
+                return cell, cls, vis, upd, boost, gy, gx
             return cell, cls, vis, upd, boost
 
         return pointwise
@@ -344,7 +349,16 @@ class SemanticMappingEngine:
             _, summed = jax.lax.associative_scan(combine, (flags_first, values))
             return summed
 
-        def _dense_update(grid, cell, cls, intensity, upd, gh, gw):
+        def _segmented_max(flags_first, values):
+            def combine(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
+
+            _, out = jax.lax.associative_scan(combine, (flags_first, values))
+            return out
+
+        def _dense_update(grid, cell, cls, intensity, upd, gh, gw, weights=None):
             # --- TPU-fast Bayesian update (ref :414-424) -------------------
             # XLA lowers a scatter with potentially-duplicate indices to a
             # *serialized* update loop on TPU (measured ~25 ms for a 2^17
@@ -362,7 +376,17 @@ class SemanticMappingEngine:
             is_first = jnp.concatenate([jnp.ones((1,), bool), ksort[1:] != ksort[:-1]])
             is_last = jnp.concatenate([ksort[:-1] != ksort[1:], jnp.ones((1,), bool)])
 
-            if dedupe:
+            if weights is not None:
+                # confidence-weighted evidence (softmax-confidence head):
+                # a deduped (cell, class) hit carries its strongest point's
+                # confidence; per-point mode sums confidences instead of
+                # counts.  weights==1 reduces to the unweighted semantics.
+                w_sorted = jnp.where(kvalid, weights[order].astype(grid.dtype), 0.0)
+                if dedupe:
+                    obs_at_last = _segmented_max(is_first, w_sorted)
+                else:
+                    obs_at_last = _segmented_sum(is_first, w_sorted)
+            elif dedupe:
                 # PARITY QUIRK (load-bearing): the reference updates with
                 # numpy fancy-index ``+=`` (ref mapping.py:424,437), which
                 # collapses duplicates — evidence is added once per (cell,
@@ -435,7 +459,7 @@ class SemanticMappingEngine:
         win_r = min(win, h)
         win_c = min(win, w)
 
-        def _window_update(grid, cell, cls, intensity, upd):
+        def _window_update(grid, cell, cls, intensity, upd, weights=None):
             row = cell // w
             col = cell % w
             n_upd = jnp.maximum(jnp.sum(upd), 1)
@@ -453,13 +477,16 @@ class SemanticMappingEngine:
             local_cell = lr * win_c + lc
 
             slab = jax.lax.dynamic_slice(grid, (0, r0, c0), (num_cls, win_r, win_c))
-            slab = _dense_update(slab, local_cell, cls, intensity, upd_w, win_r, win_c)
+            slab = _dense_update(
+                slab, local_cell, cls, intensity, upd_w, win_r, win_c,
+                weights=weights,
+            )
             return jax.lax.dynamic_update_slice(grid, slab, (0, r0, c0))
 
         if windowed:
             return _window_update
-        return lambda grid, cell, cls, intensity, upd: _dense_update(
-            grid, cell, cls, intensity, upd, h, w
+        return lambda grid, cell, cls, intensity, upd, weights=None: _dense_update(
+            grid, cell, cls, intensity, upd, h, w, weights=weights
         )
 
     def _build_step(self, camera_id: str, pcd_in_velodyne_frame: bool):

@@ -54,6 +54,7 @@ class FusedFramePipeline:
         compute_dtype=jnp.bfloat16,
         undistort: bool = False,
         distortion: Optional[str] = None,
+        confidence_weighting: bool = False,
     ):
         """Args:
             distortion: how lens distortion is handled per frame —
@@ -69,11 +70,19 @@ class FusedFramePipeline:
                 equivalent label association at negligible cost — the
                 TPU-first production path.
             undistort: deprecated alias for ``distortion='image'``.
+            confidence_weighting: scale each point's Bayesian evidence by
+              the network's softmax confidence at its pixel (the fused
+              softmax-confidence head).  A deduped (cell, class) hit
+              carries its strongest point's confidence; with every
+              confidence at 1 this reduces exactly to the reference
+              update.  Extension beyond the reference (which weights all
+              observations equally).
         """
         if distortion is None:
             distortion = "image" if undistort else "none"
         assert distortion in ("none", "image", "points"), distortion
         self.distortion = distortion
+        self.confidence_weighting = bool(confidence_weighting)
         self.cfg = cfg
         self.engine = engine or SemanticMappingEngine(cfg)
         self._undistort_maps = {}
@@ -93,9 +102,11 @@ class FusedFramePipeline:
         return self.engine.init_grid()
 
     def _build(self, camera: str, image_hw: Tuple[int, int], velodyne_frame: bool):
+        confidence = self.confidence_weighting
         pointwise = self.engine._build_pointwise(
             camera, velodyne_frame, image_is_class_id=True, image_full_hw=image_hw,
             distorted_image=(self.distortion == "points"),
+            return_pixels=confidence,
         )
         apply_update = self.engine._build_update()
         model = self.model
@@ -130,10 +141,18 @@ class FusedFramePipeline:
             channel_img = table[jnp.clip(net_labels, 0, table.shape[0] - 1)]
 
             # projection + gather + evidence update (ref mapping.py:357-444)
-            cell, cls, vis, upd, _ = pointwise(
-                pcd, valid, channel_img, position, quaternion
-            )
-            grid = apply_update(grid, cell, cls, pcd[3], upd)
+            if confidence:
+                conf_img = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)[0]
+                cell, cls, vis, upd, _, gy, gx = pointwise(
+                    pcd, valid, channel_img, position, quaternion
+                )
+                weights = conf_img[gy, gx]
+                grid = apply_update(grid, cell, cls, pcd[3], upd, weights=weights)
+            else:
+                cell, cls, vis, upd, _ = pointwise(
+                    pcd, valid, channel_img, position, quaternion
+                )
+                grid = apply_update(grid, cell, cls, pcd[3], upd)
             return grid, net_labels
 
         return step
