@@ -61,3 +61,43 @@ def test_probability_drift_budget():
     # argmax class decisions agree everywhere touched
     agree = (ours.argmax(axis=2) == golden.argmax(axis=2))[touched].mean()
     assert agree > 0.999
+
+
+def test_fused_pipeline_bit_determinism_all_modes():
+    """The fused pipeline (distortion-on-points, confidence weighting)
+    must be bit-deterministic across reruns — same frames, same grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_semantic_segmentation_tpu.models import build_model
+    from vision_semantic_segmentation_tpu.runtime.pipeline import FusedFramePipeline
+
+    rng = np.random.default_rng(7)
+    cfg = small_cfg()
+    cfg.MAPPING.POINT_BUCKET = 2048
+    net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+    net_cfg.MODEL.TYPE = "Dummy"
+    model, *_ = build_model(net_cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+    pipeline = FusedFramePipeline(
+        cfg, variables, engine=engine, compute_dtype=jnp.float32,
+        distortion="points", confidence_weighting=True,
+    )
+
+    frames = []
+    for i in range(3):
+        pts, _, position, quaternion = make_frame(rng, cfg, n=1200)
+        raw = (rng.random((720, 960, 3)) * 255).astype(np.uint8)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        frames.append((raw, pcd, valid, position, quaternion))
+
+    def run():
+        grid = pipeline.init_grid()
+        for raw, pcd, valid, position, quaternion in frames:
+            grid, _ = pipeline.step(grid, raw, pcd, valid, position, quaternion)
+        return np.asarray(grid)
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
+    assert a.sum() > 0
