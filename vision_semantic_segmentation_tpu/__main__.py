@@ -75,10 +75,13 @@ def cmd_pipeline(args):
 
 
 def _fused_pipeline(cfg, bag_path: str):
-    """Raw frames -> FusedFramePipeline windows -> finalized map (+ eval)."""
-    import numpy as np
+    """Raw frames -> FusedFramePipeline windows -> finalized map (+ eval).
 
-    from .mapping.engine import SemanticMappingEngine, pad_points
+    Reuses MappingReplay's chunking/staging (host double-buffering comes
+    for free) with the fused runner dispatching each staged window.
+    """
+    from .inference.predictor import SemanticSegmentation
+    from .mapping.engine import SemanticMappingEngine
     from .runtime.io import load_frames, load_reference_dump
     from .runtime.pipeline import FusedFramePipeline
     from .runtime.replay import MappingReplay
@@ -94,43 +97,26 @@ def _fused_pipeline(cfg, bag_path: str):
     if not frames:
         raise SystemExit(f"no frames in {bag_path}")
 
-    import jax.numpy as jnp
-
-    from .inference.predictor import SemanticSegmentation
-
     net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
     predictor = SemanticSegmentation(net_cfg)  # loads MODEL.WEIGHT
     engine = SemanticMappingEngine(cfg)
     pipeline = FusedFramePipeline(
         cfg, predictor.variables, engine=engine, distortion="points"
     )
-    grid = pipeline.init_grid()
+    replay = MappingReplay(cfg, engine=engine)
     hw = frames[0].semantic_image.shape[:2]
-    runner = pipeline.build_sequence_runner(
-        camera=frames[0].camera, image_hw=hw,
-        pcd_frame_id=frames[0].pcd_frame_id,
-    )
-    bucket = engine.point_bucket
-    window = 8
-    for i in range(0, len(frames), window):
-        chunk = frames[i : i + window]
-        padded = [pad_points(np.asarray(f.pcd, np.float32), bucket) for f in chunk]
-        stacked = {
-            "image": jnp.asarray(np.stack([f.semantic_image for f in chunk])),
-            "pcd": jnp.asarray(np.stack([p for p, _ in padded])),
-            "valid": jnp.asarray(np.stack([v for _, v in padded])),
-            "position": jnp.asarray(
-                np.stack([np.asarray(f.position, np.float32) for f in chunk])
-            ),
-            "quaternion": jnp.asarray(
-                np.stack([np.asarray(f.quaternion, np.float32) for f in chunk])
-            ),
-        }
-        # the jitted runner specializes per window length; the remainder
+
+    grid = pipeline.init_grid()
+    for chunk in replay._chunk_frames(frames, window=8):
+        runner = pipeline.build_sequence_runner(
+            camera=chunk[0].camera, image_hw=hw,
+            pcd_frame_id=chunk[0].pcd_frame_id,
+        )
+        # the jitted runner specializes per window length; a remainder
         # chunk (if any) costs one extra compile
-        grid = runner(grid, stacked)
+        grid = runner(grid, replay._stage(chunk, min_len=1))
     # render/save/evaluate through the replay finalizer (same artifacts)
-    MappingReplay(cfg, engine=engine).finalize(grid, name="fused")
+    replay.finalize(grid, name="fused")
 
 
 def cmd_train(args):

@@ -18,14 +18,12 @@ nearest-stamp sync keys on) and fall back to the bag record time.
 """
 from __future__ import annotations
 
-import os.path as osp
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
 from .bus import TopicBus
 from .rosbag import (
-    BagMessage,
     CompressedImageMsg,
     ImageMsg,
     PointCloud2Msg,

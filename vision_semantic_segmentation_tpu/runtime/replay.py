@@ -62,15 +62,18 @@ class MappingReplay:
             yield frames[i:j]
             i = j
 
-    def _stage(self, chunk):
+    def _stage(self, chunk, min_len: int = 2):
         """Host-side staging of one chunk: pad, stack, start device copies.
 
         Runs on the prefetch thread so stacking the next window's ~150 MB
         overlaps the device fusing the current one (jax.device_put is
         async; the arrays land in HBM while the previous dispatch runs).
+        Chunks shorter than ``min_len`` return None (run_frames dispatches
+        single frames through engine.step instead; the fused CLI path
+        stages every chunk with ``min_len=1``).
         """
-        if len(chunk) == 1:
-            return None  # single frames go through engine.step directly
+        if len(chunk) < min_len:
+            return None
         bucket = self.engine.point_bucket
         padded = [
             pad_points(np.asarray(f.pcd, dtype=np.float32), bucket) for f in chunk
