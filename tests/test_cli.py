@@ -280,3 +280,43 @@ class TestFusedPipelineCommand:
             str(tmp_path / "out" / "**" / "global_map_fused.png"), recursive=True
         )
         assert maps, "fused pipeline wrote no map"
+
+
+class TestReplayFrameParallel:
+    def test_replay_cli_frame_parallel(self, rng, tmp_path):
+        """replay --frame-parallel produces the same map as sequential."""
+        import cv2
+        import numpy as np
+
+        from test_runtime import small_cfg, _make_sequence
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.runtime.io import save_frames
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        input_dir = tmp_path / "inputs"
+        input_dir.mkdir(parents=True, exist_ok=True)
+        save_frames(
+            _make_sequence(rng, cfg, n_frames=8, n_pts=900),
+            str(input_dir / "seq.npz"),
+        )
+        cfg_path = str(tmp_path / "fp.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.dump())
+
+        main(["replay", "--cfg", cfg_path, "--input-dir", str(input_dir)])
+        import glob
+
+        seq_map = sorted(glob.glob(str(tmp_path / "out" / "**" / "global_map_seq.png"),
+                                   recursive=True))[-1]
+        a = cv2.imread(seq_map)
+
+        main(["replay", "--cfg", cfg_path, "--input-dir", str(input_dir),
+              "--frame-parallel"])
+        fp_map = sorted(glob.glob(str(tmp_path / "out" / "**" / "global_map_seq.png"),
+                                  recursive=True))[-1]
+        b = cv2.imread(fp_map)
+        assert fp_map != seq_map
+        # identical rendered maps (f32 re-association cannot flip the
+        # argmax colors on this fixture)
+        np.testing.assert_array_equal(a, b)

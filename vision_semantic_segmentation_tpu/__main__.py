@@ -32,7 +32,9 @@ def cmd_replay(args):
     cfg = _load_app_cfg(args.cfg)
     if args.input_dir:
         cfg.MAPPING.INPUT_DIR = args.input_dir
-    MappingReplay(cfg).replay_dir()
+    MappingReplay(
+        cfg, frame_parallel=getattr(args, "frame_parallel", False)
+    ).replay_dir()
 
 
 def cmd_pipeline(args):
@@ -196,6 +198,10 @@ def main(argv=None):
     p = sub.add_parser("replay", help="offline deterministic mapping replay")
     p.add_argument("--cfg", default="", metavar="FILE")
     p.add_argument("--input-dir", default="")
+    p.add_argument(
+        "--frame-parallel", action="store_true",
+        help="fuse frames data-parallel across all devices (one psum)",
+    )
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("pipeline", help="run seg+mapping nodes over a recorded bag")

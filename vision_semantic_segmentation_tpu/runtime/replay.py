@@ -31,7 +31,14 @@ from .io import FrameRecord, iter_sequence_files, load_frames, load_reference_du
 class MappingReplay:
     """Replays recorded sequences through the mapping engine."""
 
-    def __init__(self, cfg, logger: Optional[MyLogger] = None, engine=None):
+    def __init__(
+        self, cfg, logger: Optional[MyLogger] = None, engine=None,
+        frame_parallel: bool = False,
+    ):
+        """``frame_parallel=True`` fuses homogeneous sequences data-parallel
+        across all visible devices (see run_frames_parallel); heterogeneous
+        sequences fall back to the sequential window path."""
+        self.frame_parallel = bool(frame_parallel)
         self.cfg = cfg
         output_dir = resolve_output_dir(cfg.OUTPUT_DIR, cfg.TASK_NAME)
         if logger is None:
@@ -222,7 +229,14 @@ class MappingReplay:
             frames = load_frames(path)
         else:
             frames = load_reference_dump(path)
-        grid = self.run_frames(frames)
+        homogeneous = (
+            len({(f.camera, f.pcd_frame_id) for f in frames}) == 1
+            if frames else False
+        )
+        if self.frame_parallel and homogeneous:
+            grid = self.run_frames_parallel(frames)
+        else:
+            grid = self.run_frames(frames)
         return self.finalize(grid, name)
 
     def replay_dir(self, input_dir: Optional[str] = None) -> List[np.ndarray]:
