@@ -1,8 +1,8 @@
 """End-to-end throughput benchmark on real TPU hardware.
 
 Measures the production replay fast path at the reference's deployed
-configuration: 1440x1920 camera frames -> undistort -> DeepLabV3+
-(ResNeXt50-32x4d, output stride 8, bf16 conv path) -> argmax -> LiDAR
+configuration: 1440x1920 camera frames -> DeepLabV3+ (ResNeXt50-32x4d,
+output stride 8, bf16 conv path) -> argmax -> distortion-aware LiDAR
 projection + Bayesian BEV grid fusion (2^17-point bucket), with a full
 window of frames fused in ONE device dispatch (lax.scan) and the grid
 HBM-resident throughout (runtime/pipeline.py).
@@ -11,8 +11,11 @@ Honesty notes:
   * Every window holds DIFFERENT frames (images and point clouds are
     generated on-device per window with distinct PRNG keys) — no
     re-dispatching one cached window.
-  * Camera undistortion is ON: this is the reference's full per-frame path
-    (ref vision_semantic_segmentation_node.py:85-87).
+  * Lens distortion IS handled, via the engine's distortion-on-points
+    mode: the plumb-bob forward model applied to every projected point
+    (the reference's full-frame cv2.undistort equivalent measured
+    66 ms/frame on TPU — more than the DeepLab forward — so the image
+    resample is not the production path; see MIGRATION.md).
   * Frame data is generated in HBM rather than staged from host: this dev
     environment reaches the TPU through a tunnel whose host->device path
     moves ~1-20 MB/s (vs multi-GB/s PCIe on a real TPU host), so staging
