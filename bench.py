@@ -154,6 +154,13 @@ def main(quick: bool = False):
     from vision_semantic_segmentation_tpu.runtime.pipeline import FusedFramePipeline
 
     cfg = get_cfg_defaults()
+    if not quick:
+        # the reference's FULL-ROUTE experiment: [[0,1000],[0,1400]] m at
+        # 0.2 m -> 5000x7000x5 grid (ref README.md:173-177), fused through
+        # the pose-centered update window (cost independent of grid size)
+        cfg.MAPPING.BOUNDARY = [[0, 1000], [0, 1400]]
+        cfg.MAPPING.RESOLUTION = 0.2
+        cfg.MAPPING.UPDATE_WINDOW = 1200  # >= 2.2 * RANGE_MAX / RESOLUTION
     net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
 
     img_h, img_w = (512, 768) if quick else (1440, 1920)
@@ -177,8 +184,8 @@ def main(quick: bool = False):
     run = pipeline.build_sequence_runner(image_hw=(img_h, img_w))
 
     # -- on-device window generation (distinct frames per window) -----------
-    x0m = 100 - PCD_ORIGIN_OFFSET[0]
-    y0m = 800 - PCD_ORIGIN_OFFSET[1]
+    x0m = cfg.MAPPING.BOUNDARY[0][0] + 100 - PCD_ORIGIN_OFFSET[0]
+    y0m = cfg.MAPPING.BOUNDARY[1][0] + 100 - PCD_ORIGIN_OFFSET[1]
     position = np.tile(np.asarray([x0m - 6.0, y0m + 20.0, 0.0], np.float32), (window, 1))
     quaternion = np.tile(np.asarray([0, 0, 0, 1.0], np.float32), (window, 1))
 
@@ -303,6 +310,8 @@ def main(quick: bool = False):
         "image": "undistort_seg_fusion",
         "none": "seg_fusion",
     }[distortion]
+    if not quick:
+        stages += "_fullroute5000x7000"
     result = {
         "metric": f"e2e_frames_per_sec_{img_h}x{img_w}_{stages}",
         "value": round(fps, 3),
