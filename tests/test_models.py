@@ -181,6 +181,61 @@ class TestDeepLab:
         np.testing.assert_allclose(ours, _to_nhwc(logits), atol=5e-4)
 
 
+class TestFlagshipParity:
+    def test_deployed_resnext50_os8_composition(self, rng):
+        """The DEPLOYED flagship end-to-end vs a composed torch oracle.
+
+        DeepLabV3+ / ResNeXt50-32x4d / output-stride 8 at the deployed
+        channel widths (ref base_cfg.py:96-112: ASPP 256 with dilations
+        [1,12,24,36], decoder 48/(256,256)) — the composition the mapping
+        pipeline actually runs.  Exercises the block-diagonal grouped-conv
+        lowering, the ASPP separable atrous branches + pooled branch, the
+        decoder refine path, the align_corners upsample, AND the weight
+        converter on the full deployed key layout, in one assertion
+        (ref deeplab_v3_plus.py:51-71).
+        """
+        import torch.nn.functional as F
+        from torch_oracle import make_oracle
+        from deeplab_v3_plus.models.aspp import AtrousSpatialPyramidPoolingModule
+        from deeplab_v3_plus.models.decoder import Decoder as TorchDecoder
+
+        torch.manual_seed(3)
+        tv_backbone = make_oracle("resnext50_32x4d", (False, True, True))
+        aspp = AtrousSpatialPyramidPoolingModule(
+            in_channels=2048, out_channels=256,
+            atrous_channels=(256, 256, 256, 256),
+            atrous_kernel_size=(1, 3, 3, 3), atrous_dilation=(1, 12, 24, 36),
+            dropout=0.5)
+        dec = TorchDecoder(in_channels=256, out_channels=19,
+                           low_level_in_channels=256,
+                           low_level_out_channels=48, refine_channels=(256, 256),
+                           refine_kernel_size=(3, 3))
+        for m in (tv_backbone, aspp, dec):
+            m.eval()
+
+        sd = {}
+        sd.update({f"backbone.{k}": v for k, v in tv_backbone.state_dict().items()})
+        sd.update({f"aspp.{k}": v for k, v in aspp.state_dict().items()})
+        sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+        variables = jax.tree.map(jnp.asarray, torch_state_dict_to_flax(sd))
+
+        model = DeepLabV3Plus(out_channels=19)  # defaults ARE the flagship
+
+        x = rng.standard_normal((1, 97, 65, 3)).astype(np.float32)
+        ours = np.asarray(
+            model.apply(variables, jnp.asarray(x), train=False, upsample_pred=True)
+        )
+
+        with torch.no_grad():
+            feat, low = tv_backbone(_nchw(x))
+            feat = aspp(feat)
+            logits = dec(feat, low)
+            logits = F.interpolate(
+                logits, size=(97, 65), mode="bilinear", align_corners=True
+            )
+        np.testing.assert_allclose(ours, _to_nhwc(logits), atol=5e-4)
+
+
 class TestXception:
     def test_shapes(self, rng):
         model = Xception65()

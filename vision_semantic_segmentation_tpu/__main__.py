@@ -106,12 +106,15 @@ def _fused_pipeline(cfg, bag_path: str):
         cfg, predictor.variables, engine=engine, distortion="points"
     )
     replay = MappingReplay(cfg, engine=engine)
-    hw = frames[0].semantic_image.shape[:2]
 
     grid = pipeline.init_grid()
     for chunk in replay._chunk_frames(frames, window=8):
+        # per-chunk image shape: _chunk_frames splits on it, so a
+        # mixed-resolution recording builds one runner per resolution
+        # (runners are cached per (camera, hw, cloud-frame) in the pipeline)
         runner = pipeline.build_sequence_runner(
-            camera=chunk[0].camera, image_hw=hw,
+            camera=chunk[0].camera,
+            image_hw=tuple(chunk[0].semantic_image.shape[:2]),
             pcd_frame_id=chunk[0].pcd_frame_id,
         )
         # the jitted runner specializes per window length; a remainder

@@ -176,8 +176,11 @@ class SemanticMappingEngine:
         if cameras:
             self.cameras.update(cameras)
 
-        # One compiled step per (camera, pcd-frame) combination
+        # One compiled step / sequence runner per (camera, pcd-frame)
+        # combination — a fresh jax.jit wrapper per call would lose jit's
+        # compilation cache and re-trace every chunk of a long replay
         self._step_fns: Dict[Tuple[str, bool], callable] = {}
+        self._runner_fns: Dict[Tuple[str, bool], callable] = {}
 
     # -- state --------------------------------------------------------------
     def init_grid(self) -> Array:
@@ -513,8 +516,15 @@ class SemanticMappingEngine:
         in HBM across the window.  ``frames`` is a dict of stacked arrays:
         image (T,Hi,Wi,3) u8, pcd (T,4,N), valid (T,N), position (T,3),
         quaternion (T,4).
+
+        The returned runner is cached per (camera, cloud-frame): repeated
+        calls return the SAME jitted wrapper, so a multi-chunk replay
+        traces once per distinct frame-stack shape, not once per chunk.
         """
         key = (camera, pcd_frame_id == "velodyne")
+        cached = self._runner_fns.get(key)
+        if cached is not None:
+            return cached
         if key not in self._step_fns:
             self._step_fns[key] = self._build_step(*key)
         step = self._step_fns[key]
@@ -530,6 +540,7 @@ class SemanticMappingEngine:
             grid, _ = jax.lax.scan(body, grid, frames)
             return grid
 
+        self._runner_fns[key] = run
         return run
 
     def step(

@@ -32,43 +32,61 @@ from ..mapping.engine import SemanticMappingEngine
 Array = jnp.ndarray
 
 
+def _mark_varying(x, axis: str):
+    """Mark ``x`` device-varying along ``axis``.
+
+    ``jax.lax.pvary`` is deprecated in favor of ``pcast(..., to='varying')``
+    (JAX >= 0.9); keep a fallback for older versions.
+    """
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis,), to="varying")
+    return jax.lax.pvary(x, (axis,))
+
+
 def make_frame_parallel_run(
     engine: SemanticMappingEngine,
     mesh: Mesh,
     axis: str = "data",
     camera: str = "camera1",
     pcd_in_velodyne_frame: bool = False,
+    confidence_weighting: bool = False,
 ) -> Callable:
     """Build ``run(grid, pcds, valids, images, positions, quaternions)``.
 
     All frame arrays are stacked on a leading frame axis that must divide
-    the mesh ``axis`` size; the grid is replicated in and out.  Windowed
-    mode is not used here — each device touches the whole grid once per
-    scan step (dense update), which is the right trade for offline
-    throughput replay.
+    the mesh ``axis`` size; the grid is replicated in and out.
+    ``MAPPING.UPDATE_WINDOW`` is honored: each device's per-frame update
+    then runs on a pose-centered slab of its local partial grid, exactly
+    as in the unsharded engine (the partial grids still sum globally).
+
+    With ``confidence_weighting`` the runner takes a trailing
+    ``weights`` argument — stacked (T, N) per-point evidence weights
+    (e.g. the network's softmax confidence at each point's pixel) sharded
+    like the frames.
     """
     pointwise = engine._build_pointwise(camera, pcd_in_velodyne_frame)
-    dense_update = engine._build_dense_update()
-    spec = engine.grid_spec
-    h, w = spec.height, spec.width
+    apply_update = engine._build_update()
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis))
+        + ((P(axis),) if confidence_weighting else ()),
         out_specs=P(),
     )
-    def _run(grid, pcds, valids, images, positions, quaternions):
+    def _run(grid, pcds, valids, images, positions, quaternions, *weights):
         def body(g, frame):
-            pcd, valid, image, position, quaternion = frame
+            pcd, valid, image, position, quaternion = frame[:5]
+            w = frame[5] if confidence_weighting else None
             cell, cls, vis, upd, _ = pointwise(pcd, valid, image, position, quaternion)
-            return dense_update(g, cell, cls, pcd[3], upd, h, w), None
+            return apply_update(g, cell, cls, pcd[3], upd, weights=w), None
 
         # the zeros carry must be marked device-varying: the scanned frames
         # differ per device, so the carry out varies along the data axis
-        local = jax.lax.pvary(jnp.zeros_like(grid), (axis,))
+        local = _mark_varying(jnp.zeros_like(grid), axis)
         local, _ = jax.lax.scan(
-            body, local, (pcds, valids, images, positions, quaternions)
+            body, local,
+            (pcds, valids, images, positions, quaternions) + tuple(weights),
         )
         return grid + jax.lax.psum(local, axis)
 

@@ -43,6 +43,7 @@ def make_sharded_step(
     axis: str = "grid",
     camera: str = "camera1",
     pcd_in_velodyne_frame: bool = False,
+    confidence_weighting: bool = False,
 ) -> Callable:
     """Build a jitted frame step whose grid is row-sharded over ``axis``.
 
@@ -50,6 +51,12 @@ def make_sharded_step(
     where ``grid_sharded`` has NamedSharding P(None, axis) on its row dim.
     Matches the single-device ``engine.step`` bit-for-bit in both
     duplicate-semantics modes (see tests/test_parallel.py).
+
+    With ``confidence_weighting`` the step takes a trailing (N,) per-point
+    ``weights`` argument (replicated, like the other pointwise inputs) and
+    applies the engine's confidence-weighted update — identical semantics
+    to the unsharded ``weights=`` path, since every cell is owned by
+    exactly one band.
     """
     pointwise = engine._build_pointwise(camera, pcd_in_velodyne_frame)
     dense_update = engine._build_dense_update()
@@ -71,11 +78,13 @@ def make_sharded_step(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(None, axis), P(), P(), P(), P(), P()),
+        in_specs=(P(None, axis), P(), P(), P(), P(), P())
+        + ((P(),) if confidence_weighting else ()),
         out_specs=P(None, axis),
     )
-    def _sharded_update(grid_band, pcd, valid, image, position, quaternion):
+    def _sharded_update(grid_band, pcd, valid, image, position, quaternion, *wts):
         # grid_band: (C, band, W) planar slice owned by this device
+        weights = wts[0] if confidence_weighting else None
         cell, cls, vis, upd, _ = pointwise(pcd, valid, image, position, quaternion)
         intensity = pcd[3]
         shard_id = jax.lax.axis_index(axis)
@@ -87,7 +96,9 @@ def make_sharded_step(
 
         if not windowed:
             local_cell = local_row * w + col
-            return dense_update(grid_band, local_cell, cls, intensity, ok, band, w)
+            return dense_update(
+                grid_band, local_cell, cls, intensity, ok, band, w, weights=weights
+            )
 
         # Global window center from ALL updated points — the pointwise
         # inputs are replicated, so every shard computes identical r0/c0.
@@ -113,7 +124,9 @@ def make_sharded_step(
         slab = jax.lax.dynamic_slice(
             grid_band, (0, r0_local, c0), (num_cls, slab_r, win_c)
         )
-        slab = dense_update(slab, local_cell, cls, intensity, ok_w, slab_r, win_c)
+        slab = dense_update(
+            slab, local_cell, cls, intensity, ok_w, slab_r, win_c, weights=weights
+        )
         return jax.lax.dynamic_update_slice(grid_band, slab, (0, r0_local, c0))
 
     return jax.jit(_sharded_update, donate_argnums=(0,))

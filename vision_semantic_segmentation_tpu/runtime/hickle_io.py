@@ -167,17 +167,40 @@ def _make_generic_stub(module: str, name: str) -> type:
     })
 
 
+# Modules whose classes may be resolved for real during unpickling.  A
+# reference hickle dump only ever embeds numpy payloads and ROS message
+# objects (stubbed above); resolving arbitrary globals would let a
+# malicious .hkl execute code on load, so anything else gets an inert
+# attribute-bag stub instead.
+_SAFE_MODULE_ROOTS = ("numpy", "collections")
+_SAFE_EXACT = {
+    ("copyreg", "_reconstructor"),  # legacy new-style class reconstruction
+    ("builtins", "set"),
+    ("builtins", "frozenset"),
+    ("builtins", "bytearray"),
+    ("builtins", "complex"),
+}
+
+
 class _RosUnpickler(pickle.Unpickler):
-    """Unpickler that substitutes local stubs for missing (ROS) modules."""
+    """Unpickler that substitutes local stubs for non-allowlisted classes.
+
+    ROS message types map to slot-compatible local stubs; numpy (and a few
+    harmless builtins) resolve for real; every other global — including
+    importable ones — becomes an inert generic stub, so loading an
+    untrusted file cannot reach arbitrary callables.
+    """
 
     def find_class(self, module, name):
-        try:
-            return super().find_class(module, name)
-        except (ImportError, AttributeError):
-            stub = _ROS_CLASS_MAP.get((module, name))
-            if stub is not None:
-                return stub
-            return _make_generic_stub(module, name)
+        stub = _ROS_CLASS_MAP.get((module, name))
+        if stub is not None:
+            return stub
+        if module.split(".", 1)[0] in _SAFE_MODULE_ROOTS or (module, name) in _SAFE_EXACT:
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                pass
+        return _make_generic_stub(module, name)
 
 
 def _loads(data: bytes) -> Any:

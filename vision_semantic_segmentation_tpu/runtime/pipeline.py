@@ -97,6 +97,7 @@ class FusedFramePipeline:
             network_to_channel_table(cfg, cfg.VISION_SEM_SEG.SEM_SEG_NETWORK.DATASET.NUM_CLASSES)
         )
         self._step_cache: Dict[Tuple, Callable] = {}
+        self._runner_cache: Dict[Tuple, Callable] = {}
 
     def init_grid(self) -> Array:
         return self.engine.init_grid()
@@ -142,7 +143,12 @@ class FusedFramePipeline:
 
             # projection + gather + evidence update (ref mapping.py:357-444)
             if confidence:
-                conf_img = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)[0]
+                # softmax in f32: bf16 logits carry ~2-3 significant digits
+                # and saturate near 1.0, which would quantize the per-point
+                # evidence weights (negligible cost vs the forward)
+                conf_img = jnp.max(
+                    jax.nn.softmax(logits.astype(jnp.float32), axis=-1), axis=-1
+                )[0]
                 cell, cls, vis, upd, _, gy, gx = pointwise(
                     pcd, valid, channel_img, position, quaternion
                 )
@@ -191,7 +197,15 @@ class FusedFramePipeline:
         Returns ``run(grid, frames) -> grid`` where ``frames`` is a dict of
         stacked arrays: image (T,H,W,3) u8, pcd (T,4,N), valid (T,N),
         position (T,3), quaternion (T,4).
+
+        The runner is cached per (camera, image_hw, cloud-frame): repeated
+        calls return the SAME jitted wrapper, so a chunked replay traces
+        once per distinct window shape instead of once per chunk.
         """
+        key = (camera, tuple(image_hw), pcd_frame_id == "velodyne")
+        cached = self._runner_cache.get(key)
+        if cached is not None:
+            return cached
         step = self._build(camera, image_hw, pcd_frame_id == "velodyne")
         self_variables = self.variables
 
@@ -211,4 +225,5 @@ class FusedFramePipeline:
         def run(grid, frames):
             return run_impl(self_variables, grid, frames)
 
+        self._runner_cache[key] = run
         return run
