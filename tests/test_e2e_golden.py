@@ -103,14 +103,19 @@ def _pose(mx, my, yaw):
     return position, quaternion
 
 
-def render_frame(position, quaternion, scale=2):
-    """Ray-cast the scene through camera 1 at a vehicle pose.
+def render_frame(position, quaternion, scale=2, cam=None, palette=None):
+    """Ray-cast the scene through a camera at a vehicle pose.
 
     Returns (image_rgb_full, net_labels_full) at the calibration's full
     1920x1440 resolution (rendered at 1/scale and pixel-replicated; the
     <= scale px edge error is ~2 cm on the ground at these depths).
+
+    ``cam`` defaults to camera 1; ``palette`` overrides the per-scene-class
+    RGB colors (default INPUT_COLORS — the colors the network learns;
+    pass mapping label colors to synthesize perfect semantic images).
     """
-    cam = camera_setup_1()
+    cam = cam or camera_setup_1()
+    colors = INPUT_COLORS if palette is None else np.asarray(palette, np.uint8)
     w, h = cam.im_size
     rw, rh = w // scale, h // scale
     xs = (np.arange(rw) + 0.5) * scale - 0.5
@@ -135,7 +140,7 @@ def render_frame(position, quaternion, scale=2):
     cls = scene_class(mx, my)
     cls[~ground] = SKY
 
-    img = INPUT_COLORS[cls].reshape(rh, rw, 3)
+    img = colors[cls].reshape(rh, rw, 3)
     labels = NET_IDS[cls].reshape(rh, rw)
     img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
     labels = np.repeat(np.repeat(labels, scale, axis=0), scale, axis=1)

@@ -55,6 +55,20 @@ def cmd_pipeline(args):
     cfg = _load_app_cfg(args.cfg)
     if getattr(args, "fused", False):
         return _fused_pipeline(cfg, args.bag)
+    if getattr(args, "rate", 0):
+        # online mode: both nodes on their own executor threads, the bag
+        # played at wall-clock rate, overload surfacing as frame drops
+        # (the reference's live camera1_mapping.launch behavior)
+        from .runtime.async_bus import run_online
+
+        report = run_online(cfg, args.bag, rate=float(args.rate))
+        print(
+            f"online replay @ {report.rate}x: {report.published} msgs in "
+            f"{report.wall_duration_s:.1f}s (bag {report.bag_duration_s:.1f}s), "
+            f"dropped {report.dropped_total} "
+            f"({report.drops or 'none'}), max lag {report.max_lag_s * 1e3:.0f} ms"
+        )
+        return report
     bus = TopicBus()
     SegmentationNode(cfg, bus)
     tf_tree = TransformTree()
@@ -89,14 +103,17 @@ def _fused_pipeline(cfg, bag_path: str):
     from .runtime.replay import MappingReplay
 
     if bag_path.endswith(".bag"):
-        from .runtime.bag_adapter import bag_to_frames
+        from .runtime.bag_adapter import stream_bag_frames
 
-        frames = bag_to_frames(bag_path)
+        # streaming decode: a worker thread deserializes the NEXT frames
+        # (image decode + PointCloud2 unpack) behind a bounded queue while
+        # the device fuses the current chunk
+        frames = stream_bag_frames(bag_path)
     elif bag_path.endswith(".npz"):
         frames = load_frames(bag_path)
     else:
         frames = load_reference_dump(bag_path)
-    if not frames:
+    if not bag_path.endswith(".bag") and not frames:
         raise SystemExit(f"no frames in {bag_path}")
 
     net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
@@ -108,7 +125,9 @@ def _fused_pipeline(cfg, bag_path: str):
     replay = MappingReplay(cfg, engine=engine)
 
     grid = pipeline.init_grid()
+    n_fused = 0
     for chunk in replay._chunk_frames(frames, window=8):
+        n_fused += len(chunk)
         # per-chunk image shape: _chunk_frames splits on it, so a
         # mixed-resolution recording builds one runner per resolution
         # (runners are cached per (camera, hw, cloud-frame) in the pipeline)
@@ -120,6 +139,8 @@ def _fused_pipeline(cfg, bag_path: str):
         # the jitted runner specializes per window length; a remainder
         # chunk (if any) costs one extra compile
         grid = runner(grid, replay._stage(chunk, min_len=1))
+    if n_fused == 0:
+        raise SystemExit(f"no frames in {bag_path}")
     # render/save/evaluate through the replay finalizer (same artifacts)
     replay.finalize(grid, name="fused")
 
@@ -213,6 +234,11 @@ def main(argv=None):
     p.add_argument(
         "--fused", action="store_true",
         help="single-dispatch production pipeline (windowed, HBM grid)",
+    )
+    p.add_argument(
+        "--rate", type=float, default=0.0, metavar="R",
+        help="online mode: play the bag at R x real time through "
+        "concurrently-executing nodes; overload drops frames (reported)",
     )
     p.set_defaults(fn=cmd_pipeline)
 

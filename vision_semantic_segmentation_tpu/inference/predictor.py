@@ -62,8 +62,11 @@ class SemanticSegmentation:
                 variables = load_npz(weight)
         self.variables = jax.tree.map(jnp.asarray, variables)
 
-        self._mean = jnp.asarray(IMAGENET_MEAN)
-        self._std = jnp.asarray(IMAGENET_STD)
+        # host numpy, captured by the jitted forwards: a jnp device array
+        # captured as a closure constant costs a ~39 s tunnel readback at
+        # every lowering in this dev environment (ROUND_NOTES r03)
+        self._mean = np.asarray(IMAGENET_MEAN, dtype=np.float32)
+        self._std = np.asarray(IMAGENET_STD, dtype=np.float32)
         # LRU-bounded per-shape compile cache: streaming variable-resolution
         # inputs would otherwise accumulate compiled programs without limit
         # (SURVEY.md section 7 "fixed input buckets").  Each entry is its own

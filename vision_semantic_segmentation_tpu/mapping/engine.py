@@ -229,19 +229,25 @@ class SemanticMappingEngine:
         equivalent label association; not bit-identical to the image
         resample (each path quantizes at a different stage).
         """
+        # NOTE: closure constants are HOST numpy arrays, never jnp device
+        # arrays.  A device array captured by a traced function is read
+        # back to host during MLIR constant embedding — and this dev
+        # environment's TPU tunnel takes ~39 s PER readback (measured,
+        # ROUND_NOTES r03): six device constants here cost 236 s of every
+        # lowering.  numpy constants embed directly.
         cam = self.cameras[camera_id]
-        P = jnp.asarray(cam.P, dtype=jnp.float32)
-        P_norm = jnp.asarray(cam.P_norm, dtype=jnp.float32)
-        K = jnp.asarray(cam.K, dtype=jnp.float32)
+        P = np.asarray(cam.P, dtype=np.float32)
+        P_norm = np.asarray(cam.P_norm, dtype=np.float32)
+        K = np.asarray(cam.K, dtype=np.float32)
         has_dist = distorted_image and cam.dist is not None
         if distorted_image and cam.dist is None:
             has_dist = False  # pinhole camera: raw frame == rectified frame
-        T_v2b = jnp.asarray(self.T_velodyne_to_baselink, dtype=jnp.float32)
-        label_colors = jnp.asarray(self.label_colors)
-        offset = jnp.asarray(PCD_ORIGIN_OFFSET[:2, None], dtype=jnp.float32)
+        T_v2b = np.asarray(self.T_velodyne_to_baselink, dtype=np.float32)
+        label_colors = np.asarray(self.label_colors)
+        offset = np.asarray(PCD_ORIGIN_OFFSET[:2, None], dtype=np.float32)
         spec = self.grid_spec
-        bmin = jnp.asarray(
-            [[spec.boundary[0][0]], [spec.boundary[1][0]]], dtype=jnp.float32
+        bmin = np.asarray(
+            [[spec.boundary[0][0]], [spec.boundary[1][0]]], dtype=np.float32
         )
         inv_res = 1.0 / spec.resolution
         h, w = spec.height, spec.width
@@ -334,8 +340,10 @@ class SemanticMappingEngine:
         sort + segmented-scan + unique-scatter + MXU-matmul update.
         """
         # (C_chan, C_obs): column i is the additive evidence when class i
-        # is observed (ref mapping.py:424 uses confusion_matrix[:, i])
-        self_evidence = jnp.asarray(self.evidence, dtype=jnp.float32)
+        # is observed (ref mapping.py:424 uses confusion_matrix[:, i]).
+        # Host numpy on purpose — see the constant-embedding note in
+        # _build_pointwise.
+        self_evidence = np.asarray(self.evidence, dtype=np.float32)
         lane = self.lane_channel
         use_intensity = self.use_intensity and lane >= 0
         dedupe = self.duplicate_semantics == "reference"
@@ -414,7 +422,7 @@ class SemanticMappingEngine:
                 obs_at_last, mode="drop", unique_indices=True
             )
             delta = jnp.matmul(
-                jnp.asarray(self_evidence),  # (C_chan, C_obs)
+                self_evidence,  # (C_chan, C_obs) host constant
                 observations.reshape(num_cls, gh * gw),
                 precision=jax.lax.Precision.HIGHEST,
             )

@@ -16,7 +16,12 @@ from .train_step import (
     make_per_device_bn_train_step,
     make_train_step,
 )
-from .grid_shard import gather_grid, init_sharded_grid, make_sharded_step
+from .grid_shard import (
+    gather_grid,
+    init_sharded_grid,
+    make_sharded_frame_parallel_run,
+    make_sharded_step,
+)
 from .frame_parallel import make_frame_parallel_run, stack_frames
 
 __all__ = [
@@ -36,6 +41,7 @@ __all__ = [
     "make_train_step",
     "gather_grid",
     "init_sharded_grid",
+    "make_sharded_frame_parallel_run",
     "make_sharded_step",
     "make_frame_parallel_run",
     "stack_frames",

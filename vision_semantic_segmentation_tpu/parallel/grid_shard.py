@@ -37,33 +37,21 @@ from ..mapping.engine import SemanticMappingEngine
 Array = jnp.ndarray
 
 
-def make_sharded_step(
-    engine: SemanticMappingEngine,
-    mesh: Mesh,
-    axis: str = "grid",
-    camera: str = "camera1",
-    pcd_in_velodyne_frame: bool = False,
-    confidence_weighting: bool = False,
-) -> Callable:
-    """Build a jitted frame step whose grid is row-sharded over ``axis``.
+def make_band_updater(engine: SemanticMappingEngine, nshards: int) -> Callable:
+    """Per-frame update of one device's (C, band, W) row band.
 
-    Returns ``step(grid_sharded, pcd, valid, image, position, quaternion)``
-    where ``grid_sharded`` has NamedSharding P(None, axis) on its row dim.
-    Matches the single-device ``engine.step`` bit-for-bit in both
-    duplicate-semantics modes (see tests/test_parallel.py).
-
-    With ``confidence_weighting`` the step takes a trailing (N,) per-point
-    ``weights`` argument (replicated, like the other pointwise inputs) and
-    applies the engine's confidence-weighted update — identical semantics
-    to the unsharded ``weights=`` path, since every cell is owned by
-    exactly one band.
+    Returns ``update(grid_band, shard_id, cell, cls, intensity, upd,
+    weights=None) -> grid_band`` applying the engine's fast dense update to
+    the band (or, in ``MAPPING.UPDATE_WINDOW`` mode, to the band's
+    intersection with the pose-centered global window via a dynamic slab
+    slice).  Shared by the grid-sharded step and the composed
+    sharded-grid + frame-parallel runner, so every path keeps identical
+    duplicate/window semantics.
     """
-    pointwise = engine._build_pointwise(camera, pcd_in_velodyne_frame)
     dense_update = engine._build_dense_update()
     spec = engine.grid_spec
     h, w = spec.height, spec.width
     num_cls = engine.evidence.shape[0]
-    nshards = mesh.shape[axis]
     assert h % nshards == 0, f"grid rows {h} must divide into {nshards} shards"
     band = h // nshards
 
@@ -75,19 +63,7 @@ def make_sharded_step(
     win_c = min(win, w)
     slab_r = min(win_r, band)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(), P(), P(), P(), P())
-        + ((P(),) if confidence_weighting else ()),
-        out_specs=P(None, axis),
-    )
-    def _sharded_update(grid_band, pcd, valid, image, position, quaternion, *wts):
-        # grid_band: (C, band, W) planar slice owned by this device
-        weights = wts[0] if confidence_weighting else None
-        cell, cls, vis, upd, _ = pointwise(pcd, valid, image, position, quaternion)
-        intensity = pcd[3]
-        shard_id = jax.lax.axis_index(axis)
+    def update(grid_band, shard_id, cell, cls, intensity, upd, weights=None):
         row = cell // w
         col = cell % w
         local_row = row - shard_id * band
@@ -129,7 +105,112 @@ def make_sharded_step(
         )
         return jax.lax.dynamic_update_slice(grid_band, slab, (0, r0_local, c0))
 
+    return update
+
+
+def make_sharded_step(
+    engine: SemanticMappingEngine,
+    mesh: Mesh,
+    axis: str = "grid",
+    camera: str = "camera1",
+    pcd_in_velodyne_frame: bool = False,
+    confidence_weighting: bool = False,
+) -> Callable:
+    """Build a jitted frame step whose grid is row-sharded over ``axis``.
+
+    Returns ``step(grid_sharded, pcd, valid, image, position, quaternion)``
+    where ``grid_sharded`` has NamedSharding P(None, axis) on its row dim.
+    Matches the single-device ``engine.step`` bit-for-bit in both
+    duplicate-semantics modes (see tests/test_parallel.py).
+
+    With ``confidence_weighting`` the step takes a trailing (N,) per-point
+    ``weights`` argument (replicated, like the other pointwise inputs) and
+    applies the engine's confidence-weighted update — identical semantics
+    to the unsharded ``weights=`` path, since every cell is owned by
+    exactly one band.
+    """
+    pointwise = engine._build_pointwise(camera, pcd_in_velodyne_frame)
+    update_band = make_band_updater(engine, mesh.shape[axis])
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P(), P(), P(), P())
+        + ((P(),) if confidence_weighting else ()),
+        out_specs=P(None, axis),
+    )
+    def _sharded_update(grid_band, pcd, valid, image, position, quaternion, *wts):
+        # grid_band: (C, band, W) planar slice owned by this device
+        weights = wts[0] if confidence_weighting else None
+        cell, cls, vis, upd, _ = pointwise(pcd, valid, image, position, quaternion)
+        shard_id = jax.lax.axis_index(axis)
+        return update_band(
+            grid_band, shard_id, cell, cls, pcd[3], upd, weights=weights
+        )
+
     return jax.jit(_sharded_update, donate_argnums=(0,))
+
+
+def make_sharded_frame_parallel_run(
+    engine: SemanticMappingEngine,
+    mesh: Mesh,
+    data_axis: str = "data",
+    grid_axis: str = "grid",
+    camera: str = "camera1",
+    pcd_in_velodyne_frame: bool = False,
+    confidence_weighting: bool = False,
+) -> Callable:
+    """Sharded grid x frame parallelism COMPOSED over a 2D mesh.
+
+    The two scaling axes of the framework in one program (sp x fp,
+    VERDICT r02 #10): grid rows shard over ``grid_axis`` (memory scales —
+    the full-route 5000x7000 grid splits across HBMs, SURVEY.md section 5),
+    while frames shard over ``data_axis`` (throughput scales — per-frame
+    contributions add, parallel/frame_parallel.py).  Each device scans ITS
+    frames into a partial of ITS row band; one psum over ``data_axis``
+    combines the partials per band.  No cross-band traffic ever (cell
+    ownership routes updates), exact up to f32 re-association of the
+    per-band sum.
+
+    Returns ``run(grid_sharded, pcds, valids, images, positions,
+    quaternions[, weights])`` with the frame arrays stacked on a leading
+    axis divisible by the ``data_axis`` size, and the grid sharded
+    P(None, grid_axis).  Windowed mode is honored per frame.
+    """
+    from .frame_parallel import _mark_varying
+
+    pointwise = engine._build_pointwise(camera, pcd_in_velodyne_frame)
+    update_band = make_band_updater(engine, mesh.shape[grid_axis])
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, grid_axis),
+            P(data_axis), P(data_axis), P(data_axis), P(data_axis), P(data_axis),
+        )
+        + ((P(data_axis),) if confidence_weighting else ()),
+        out_specs=P(None, grid_axis),
+    )
+    def _run(grid_band, pcds, valids, images, positions, quaternions, *weights):
+        shard_id = jax.lax.axis_index(grid_axis)
+
+        def body(band, frame):
+            pcd, valid, image, position, quaternion = frame[:5]
+            w = frame[5] if confidence_weighting else None
+            cell, cls, vis, upd, _ = pointwise(pcd, valid, image, position, quaternion)
+            return update_band(
+                band, shard_id, cell, cls, pcd[3], upd, weights=w
+            ), None
+
+        local = _mark_varying(jnp.zeros_like(grid_band), data_axis)
+        local, _ = jax.lax.scan(
+            body, local,
+            (pcds, valids, images, positions, quaternions) + tuple(weights),
+        )
+        return grid_band + jax.lax.psum(local, data_axis)
+
+    return jax.jit(_run, donate_argnums=(0,))
 
 
 def init_sharded_grid(engine: SemanticMappingEngine, mesh: Mesh, axis: str = "grid") -> Array:

@@ -1,0 +1,272 @@
+"""Concurrent node execution over the topic bus — the online runtime.
+
+The reference runs its two nodes as separate OS processes wired by ROS
+topics (`/root/reference/scripts/launch/camera1_mapping.launch:6-9`):
+each node consumes messages on its own callback thread, and when a node
+falls behind the camera rate, frames queue up and are dropped rather
+than stalling the producer (the reference needs the bag slowed to 0.1x
+to drop zero frames, ref README.md:194; empty-queue callbacks return
+early, ref mapping.py:281-284).
+
+This module reproduces that process-level pipeline inside one process:
+
+  * :class:`NodeExecutor` — one worker thread per node.  It subscribes to
+    bus topics with an *enqueue* callback, so ``bus.publish`` never runs
+    node work inline; the node's real callbacks execute serially on the
+    executor thread, preserving each node's single-threaded invariants.
+  * Per-topic bounded mailboxes with keep-latest drop semantics: when a
+    mailbox overflows, the OLDEST message is dropped and counted — the
+    honest equivalent of a saturated ROS subscriber queue.
+  * True stage overlap: the segmentation node's device forward and the
+    mapping node's fusion run on different threads; JAX releases the GIL
+    during device execution, so camera frame i+1 segments while frame i
+    fuses.
+
+Use :func:`run_online` (or ``pipeline --rate`` from the CLI) to drive a
+bag through both nodes at a wall-clock rate and get a drop/latency
+report.
+"""
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from collections import defaultdict, deque
+from typing import Callable, Dict, Optional
+
+from .bus import Message, TopicBus
+
+__all__ = ["NodeExecutor", "PlaybackReport", "play_bag_timed", "run_online"]
+
+
+class NodeExecutor:
+    """Runs one node's callbacks serially on a dedicated worker thread.
+
+    Messages arrive from bus-publisher threads into per-topic bounded
+    mailboxes; the worker drains them in arrival order.  A full mailbox
+    drops its oldest entry (counted in :attr:`drops`) — matching the
+    behavior of a saturated ROS subscriber queue rather than blocking
+    the producer.
+    """
+
+    def __init__(self, name: str = "node"):
+        self.name = name
+        self._lock = threading.Condition()
+        self._queues: Dict[str, deque] = {}
+        self._callbacks: Dict[str, Callable[[Message], None]] = {}
+        self._order: deque = deque()  # topics with pending messages, FIFO
+        self.drops: Dict[str, int] = defaultdict(int)
+        self.processed: Dict[str, int] = defaultdict(int)
+        self._stop = False
+        self._idle = threading.Condition()
+        self._busy = 0
+        self._thread = threading.Thread(
+            target=self._run, name=f"executor-{name}", daemon=True
+        )
+        self._started = False
+
+    # -- wiring ---------------------------------------------------------------
+    def subscribe(
+        self,
+        bus: TopicBus,
+        topic: str,
+        callback: Callable[[Message], None],
+        queue_size: int = 1,
+    ) -> None:
+        """Route ``topic`` through this executor into ``callback``.
+
+        ``queue_size=1`` gives keep-latest semantics (right for camera
+        frames); history-style topics (pose, point cloud, tf) should use
+        a depth that covers the node's own sync-queue window.
+        """
+        assert topic not in self._callbacks, f"{topic} already routed"
+        self._queues[topic] = deque(maxlen=max(1, int(queue_size)))
+        self._callbacks[topic] = callback
+        bus.subscribe(topic, lambda msg, _t=topic: self._enqueue(_t, msg))
+
+    def _enqueue(self, topic: str, msg: Message) -> None:
+        with self._lock:
+            q = self._queues[topic]
+            if len(q) == q.maxlen:
+                q.popleft()
+                self.drops[topic] += 1
+            q.append(msg)
+            self._order.append(topic)
+            self._lock.notify()
+        if not self._started:
+            self.start()
+
+    # -- lifecycle ------------------------------------------------------------
+    def start(self) -> None:
+        if not self._started:
+            self._started = True
+            self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            with self._lock:
+                while not self._order and not self._stop:
+                    self._lock.wait(timeout=0.1)
+                if self._stop and not self._order:
+                    return
+                msg = None
+                while self._order and msg is None:
+                    topic = self._order.popleft()
+                    q = self._queues[topic]
+                    # a dropped message leaves a stale order entry behind;
+                    # skip any topic whose mailbox has already been drained
+                    if q:
+                        msg = q.popleft()
+                if msg is None:
+                    continue
+                self._busy += 1
+            try:
+                self._callbacks[topic](msg)
+                self.processed[topic] += 1
+            finally:
+                with self._lock:
+                    self._busy -= 1
+                with self._idle:
+                    self._idle.notify_all()
+
+    def pending(self) -> int:
+        with self._lock:
+            return sum(len(q) for q in self._queues.values()) + self._busy
+
+    def join(self, timeout: Optional[float] = None) -> bool:
+        """Block until every queued message has been processed."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._idle:
+            while self.pending():
+                remaining = None if deadline is None else deadline - time.monotonic()
+                if remaining is not None and remaining <= 0:
+                    return False
+                self._idle.wait(timeout=0.05 if remaining is None else min(remaining, 0.05))
+        return True
+
+    def stop(self) -> None:
+        with self._lock:
+            self._stop = True
+            self._lock.notify_all()
+        if self._started:
+            self._thread.join(timeout=5.0)
+
+
+@dataclasses.dataclass
+class PlaybackReport:
+    """What happened during a rate-driven playback."""
+
+    published: int = 0
+    bag_duration_s: float = 0.0
+    wall_duration_s: float = 0.0
+    rate: float = 1.0
+    max_lag_s: float = 0.0  # how far publishing fell behind the timeline
+    drops: Dict[str, int] = dataclasses.field(default_factory=dict)
+    processed: Dict[str, int] = dataclasses.field(default_factory=dict)
+
+    @property
+    def dropped_total(self) -> int:
+        return sum(self.drops.values())
+
+
+def play_bag_timed(
+    bag_path: str,
+    bus: TopicBus,
+    rate: float = 1.0,
+    tf_tree=None,
+    topic_map: Optional[Dict[str, str]] = None,
+) -> PlaybackReport:
+    """Publish a bag onto the bus on its own timeline (``rosbag play -r``).
+
+    Each record is published at ``wall_start + (stamp - stamp0) / rate``.
+    Publishing itself must stay cheap for the timeline to hold — pair
+    with :class:`NodeExecutor` subscribers so heavy work happens off the
+    playback thread; overload then shows up as mailbox drops, exactly
+    like the reference's online pipeline under a too-fast bag
+    (ref README.md:190-196).
+    """
+    from .bag_adapter import play_bag_records
+
+    assert rate > 0, "rate must be positive"
+    report = PlaybackReport(rate=rate)
+    wall0 = None
+    stamp0 = None
+    horizon = None  # running max stamp: the playback timeline position
+
+    def pace(stamp: float) -> None:
+        nonlocal wall0, stamp0, horizon
+        now = time.monotonic()
+        if wall0 is None:
+            wall0, stamp0, horizon = now, stamp, stamp
+        if stamp <= horizon:
+            # out-of-order record (bags interleave streams): publish at the
+            # current timeline position, no sleep, no lag charged
+            return
+        horizon = stamp
+        due = wall0 + (stamp - stamp0) / rate
+        if due > now:
+            time.sleep(due - now)
+        else:
+            report.max_lag_s = max(report.max_lag_s, now - due)
+
+    report.published = play_bag_records(
+        bag_path, bus, tf_tree=tf_tree, topic_map=topic_map, pace=pace
+    )
+    report.bag_duration_s = (horizon - stamp0) if stamp0 is not None else 0.0
+    report.wall_duration_s = (time.monotonic() - wall0) if wall0 is not None else 0.0
+    return report
+
+
+def run_online(
+    cfg,
+    bag_path: str,
+    rate: float = 1.0,
+    predictor=None,
+    engine=None,
+    finalize: bool = True,
+) -> PlaybackReport:
+    """Drive a bag through BOTH nodes concurrently at a wall-clock rate.
+
+    The online equivalent of the reference's camera1_mapping.launch: the
+    segmentation node and the mapping node each run on their own executor
+    thread; camera frames use keep-latest mailboxes (depth 1), pose/cloud
+    topics use history-deep mailboxes feeding the node's own sync queues.
+    Returns a :class:`PlaybackReport` with per-topic drop counts.
+
+    ``predictor`` / ``engine`` inject a prebuilt SemanticSegmentation /
+    SemanticMappingEngine (tests use light doubles).
+    """
+    from ..mapping.engine import SemanticMappingEngine
+    from ..utils.ros_compat import TransformTree
+    from .node import MappingNode, SegmentationNode
+
+    bus = TopicBus()
+    seg_exec = NodeExecutor("segmentation")
+    map_exec = NodeExecutor("mapping")
+    tf_tree = TransformTree()
+    seg_node = SegmentationNode(cfg, bus, predictor=predictor, executor=seg_exec)
+    mapping_node = MappingNode(
+        cfg, bus, engine=engine or SemanticMappingEngine(cfg),
+        tf_tree=tf_tree, executor=map_exec,
+    )
+
+    # seg publishes /<camera>/semantic on ITS executor thread -> the bus
+    # delivers into mapping's mailbox: a real two-stage pipeline (the
+    # device forward of frame i+1 overlaps the fusion of frame i).
+    report = play_bag_timed(bag_path, bus, rate=rate)
+    seg_exec.join()
+    map_exec.join()   # mapping drains the frames seg published while joining
+    seg_exec.stop()
+    map_exec.stop()
+
+    report.drops = {
+        **{f"seg:{t}": n for t, n in seg_exec.drops.items() if n},
+        **{f"map:{t}": n for t, n in map_exec.drops.items() if n},
+    }
+    report.processed = {
+        **{f"seg:{t}": n for t, n in seg_exec.processed.items()},
+        **{f"map:{t}": n for t, n in map_exec.processed.items()},
+    }
+    if finalize and mapping_node.grid is not None:
+        mapping_node.finalize()
+    return report

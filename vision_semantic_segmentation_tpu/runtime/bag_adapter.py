@@ -32,7 +32,10 @@ from .rosbag import (
     TFMessageMsg,
 )
 
-__all__ = ["play_bag", "bag_to_frames", "DEFAULT_TOPIC_MAP"]
+__all__ = [
+    "play_bag", "play_bag_records", "bag_to_frames", "stream_bag_frames",
+    "DEFAULT_TOPIC_MAP",
+]
 
 # The reference's launch files republish the AVT camera topics to
 # /<camera>/image_raw (ref scripts/launch/camera1_mapping.launch:13-15);
@@ -64,8 +67,24 @@ def play_bag(
         topic_map: optional bag-topic -> bus-topic renames (e.g.
             ``{"/ndt_pose": "/current_pose"}``).
 
-    Returns the number of messages published.
+    Returns the number of messages published.  For playback on the bag's
+    own timeline (``rosbag play -r``) see
+    :func:`~.async_bus.play_bag_timed`.
     """
+    return play_bag_records(bag_path, bus, tf_tree=tf_tree, topic_map=topic_map)
+
+
+def play_bag_records(
+    bag_path: str,
+    bus: TopicBus,
+    tf_tree=None,
+    topic_map: Optional[Dict[str, str]] = None,
+    pace=None,
+) -> int:
+    """:func:`play_bag` core with an optional ``pace(stamp)`` hook called
+    before each publish — the timed player uses it to hold the bag's
+    timeline (sleeping keeps this thread cheap; heavy subscribers should
+    run behind NodeExecutor mailboxes so lateness surfaces as drops)."""
     topic_map = {**DEFAULT_TOPIC_MAP, **(topic_map or {})}
     count = 0
     # image_transport records often carry BOTH the raw and compressed
@@ -76,6 +95,8 @@ def play_bag(
         topic = topic_map.get(rec.topic, rec.topic)
         if topic != rec.topic and owner.setdefault(topic, rec.topic) != rec.topic:
             continue
+        if pace is not None:
+            pace(rec.stamp)
         msg = rec.message
         if isinstance(msg, TFMessageMsg):
             if tf_tree is not None:
@@ -111,6 +132,119 @@ def play_bag(
             )
             count += 1
     return count
+
+
+def stream_bag_frames(
+    bag_path: str,
+    image_topic: str = "/camera1/image_raw",
+    pcd_topic: str = "/reduced_map",
+    pose_topic: str = "/current_pose",
+    lookahead_s: float = 0.5,
+    max_buffered: int = 16,
+):
+    """Stream synced FrameRecords from a bag, decoding on a worker thread.
+
+    The one-pass streaming twin of :func:`bag_to_frames`: a background
+    thread reads + deserializes bag records (image decode, PointCloud2
+    unpack) and emits FrameRecords through a bounded queue, so the
+    consumer — typically the fused device pipeline — overlaps host decode
+    of the NEXT frames with device compute on the current ones.  The
+    queue bound (``max_buffered`` frames) provides backpressure: a long
+    bag never materializes in RAM.
+
+    Sync semantics match :func:`bag_to_frames`'s true nearest-stamp
+    pairing provided the bag is time-ordered within ``lookahead_s``
+    (an image is held until a cloud AND a pose with stamps past
+    ``image_stamp + lookahead_s`` have been seen, then paired with the
+    nearest of each).
+
+    Yields FrameRecord.  The worker dies with the consumer (daemon +
+    generator close), and reader errors re-raise at the consumption site.
+    """
+    import queue as _queue
+    import threading
+
+    from .io import FrameRecord
+
+    wanted = {image_topic, pcd_topic, pose_topic}
+    aliases = {t: v for t, v in DEFAULT_TOPIC_MAP.items() if v in wanted}
+    camera = _camera_of_topic(DEFAULT_TOPIC_MAP.get(image_topic, image_topic))
+    out: "_queue.Queue" = _queue.Queue(maxsize=max(1, int(max_buffered)))
+    _DONE = object()
+
+    def nearest(entries, target):
+        return min(entries, key=lambda e: abs(e[0] - target))
+
+    def worker():
+        owner: Dict[str, str] = {}
+        images, clouds, poses = [], [], []
+
+        def flush(horizon: Optional[float]) -> None:
+            """Emit images whose lookahead window is fully covered (or
+            everything at EOF when horizon is None)."""
+            while images:
+                stamp, img = images[0]
+                if horizon is not None and (
+                    not clouds or clouds[-1][0] < stamp + lookahead_s
+                    or not poses or poses[-1][0] < stamp + lookahead_s
+                ):
+                    return
+                if not clouds or not poses:  # EOF with nothing to pair
+                    return
+                images.pop(0)
+                cloud = nearest(clouds, stamp)[1]
+                pose = nearest(poses, stamp)[1]
+                out.put(FrameRecord(
+                    pcd=cloud.xyzi(),
+                    pcd_frame_id=cloud.header.frame_id.lstrip("/") or "world",
+                    semantic_image=img.rgb(),
+                    position=np.asarray(pose.position),
+                    quaternion=np.asarray(pose.quaternion),
+                    camera=camera,
+                    stamp=stamp,
+                ))
+                # prune history no future image (stamp >= this one, modulo
+                # lookahead disorder) can pair nearer than its keepers
+                cut = stamp - lookahead_s
+                while len(clouds) > 1 and clouds[1][0] < cut:
+                    clouds.pop(0)
+                while len(poses) > 1 and poses[1][0] < cut:
+                    poses.pop(0)
+
+        try:
+            for rec in RosbagReader(bag_path).read_messages(
+                topics=list(wanted) + list(aliases)
+            ):
+                target = aliases.get(rec.topic, rec.topic)
+                if rec.topic != target and owner.setdefault(target, rec.topic) != rec.topic:
+                    continue
+                msg = rec.message
+                stamp = getattr(msg, "header", None)
+                stamp = (stamp.stamp if stamp else 0.0) or rec.stamp
+                if target == image_topic and isinstance(
+                    msg, (ImageMsg, CompressedImageMsg)
+                ):
+                    images.append((stamp, msg))
+                elif target == pcd_topic and isinstance(msg, PointCloud2Msg):
+                    clouds.append((stamp, msg))
+                elif target == pose_topic and isinstance(msg, PoseStampedMsg):
+                    poses.append((stamp, msg))
+                flush(horizon=stamp)
+            flush(horizon=None)
+            out.put(_DONE)
+        except BaseException as exc:  # surface reader errors to the consumer
+            out.put(exc)
+
+    thread = threading.Thread(target=worker, name="bag-decoder", daemon=True)
+    thread.start()
+    while True:
+        item = out.get()
+        if item is _DONE:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    thread.join(timeout=5.0)
 
 
 def bag_to_frames(

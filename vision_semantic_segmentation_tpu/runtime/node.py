@@ -33,6 +33,17 @@ from .bus import Message, TopicBus, nearest_stamp_index
 from .io import FrameRecord, save_frames
 
 
+def _make_subscriber(bus: TopicBus, executor):
+    """Wiring helper: inline bus subscription, or through a NodeExecutor's
+    bounded mailboxes when one is provided (the online/concurrent mode —
+    see runtime/async_bus.py)."""
+    if executor is None:
+        return lambda topic, cb, queue_size=1: bus.subscribe(topic, cb)
+    return lambda topic, cb, queue_size=1: executor.subscribe(
+        bus, topic, cb, queue_size=queue_size
+    )
+
+
 class SegmentationNode:
     """Camera image -> semantic RGB image (ref node:49-221).
 
@@ -43,9 +54,14 @@ class SegmentationNode:
 
     def __init__(self, cfg, bus: TopicBus, predictor: Optional[SemanticSegmentation] = None,
                  cameras: Tuple[str, ...] = ("camera1", "camera6"),
-                 publish_hulls: bool = False):
+                 publish_hulls: bool = False, executor=None):
+        """``executor``: optional :class:`~.async_bus.NodeExecutor`; when
+        given, callbacks run serially on its worker thread with bounded
+        keep-latest mailboxes (the online/concurrent mode) instead of
+        inline on ``bus.publish``."""
         self.cfg = cfg
         self.bus = bus
+        _sub = _make_subscriber(bus, executor)
         self.image_scale = float(cfg.VISION_SEM_SEG.IMAGE_SCALE)
         self.predictor = predictor or SemanticSegmentation(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK)
         self.palette = MAPILLARY_19_PALETTE
@@ -69,8 +85,10 @@ class SegmentationNode:
                     self._undistort_maps[cam] = get_camera(cam).undistort_maps()
                 except KeyError:
                     pass
-            bus.subscribe(f"/{cam}/image_raw", self.image_callback)
-        bus.subscribe("/estimated_plane", self.plane_callback)
+            # camera frames: keep-latest depth 1 — a saturated seg stage
+            # drops stale frames like the reference's online pipeline
+            _sub(f"/{cam}/image_raw", self.image_callback, queue_size=1)
+        _sub("/estimated_plane", self.plane_callback, queue_size=4)
 
     def plane_callback(self, msg: Message) -> None:
         """Ground-plane estimate update (ref node:199-201)."""
@@ -163,9 +181,10 @@ class MappingNode:
     """
 
     def __init__(self, cfg, bus: TopicBus, engine: Optional[SemanticMappingEngine] = None,
-                 record_inputs: bool = False, tf_tree=None):
+                 record_inputs: bool = False, tf_tree=None, executor=None):
         self.cfg = cfg
         self.bus = bus
+        _sub = _make_subscriber(bus, executor)
         self.tf_tree = tf_tree
         self.engine = engine or SemanticMappingEngine(cfg)
         self.grid = None
@@ -191,16 +210,19 @@ class MappingNode:
         self.dropped_frames = 0
         self.fused_frames = 0
 
-        bus.subscribe("/current_pose", self.pose_callback)
-        bus.subscribe("/camera1/semantic", self.image_callback)
-        bus.subscribe("/camera6/semantic", self.image_callback)
+        # history topics get deep mailboxes (they feed this node's own
+        # sync queues); semantic frames keep-latest depth 1
+        _sub("/current_pose", self.pose_callback, queue_size=256)
+        _sub("/camera1/semantic", self.image_callback, queue_size=1)
+        _sub("/camera6/semantic", self.image_callback, queue_size=1)
         if tf_tree is not None:
-            bus.subscribe("/tf", self._tf_callback)
+            _sub("/tf", self._tf_callback, queue_size=256)
         self._tf_cameras_registered: set = set()
-        if self.depth_method == "points_map":
-            bus.subscribe("/reduced_map", self.pcd_callback)
-        elif self.depth_method == "points_raw":
-            bus.subscribe("/points_raw", self.pcd_callback)
+        self.pcd_topic = {
+            "points_map": "/reduced_map", "points_raw": "/points_raw",
+        }.get(self.depth_method)
+        if self.pcd_topic:
+            _sub(self.pcd_topic, self.pcd_callback, queue_size=256)
 
     # -- callbacks -----------------------------------------------------------
     def _tf_callback(self, msg: Message) -> None:

@@ -85,16 +85,18 @@ class FusedFramePipeline:
         self.confidence_weighting = bool(confidence_weighting)
         self.cfg = cfg
         self.engine = engine or SemanticMappingEngine(cfg)
+        # closure constants stay HOST numpy (device-array constants cost a
+        # ~39 s tunnel readback EACH at lowering time — engine._build_pointwise)
         self._undistort_maps = {}
         if distortion == "image":
             for cam_name, cam in self.engine.cameras.items():
                 if cam.dist is not None and cam.im_size is not None:
-                    self._undistort_maps[cam_name] = jnp.asarray(cam.undistort_maps())
+                    self._undistort_maps[cam_name] = cam.undistort_maps()
         self.model = build_model(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK, dtype=compute_dtype)[0]
         self.variables = jax.tree.map(jnp.asarray, variables)
         self.image_scale = float(cfg.VISION_SEM_SEG.IMAGE_SCALE)
-        self.channel_table = jnp.asarray(
-            network_to_channel_table(cfg, cfg.VISION_SEM_SEG.SEM_SEG_NETWORK.DATASET.NUM_CLASSES)
+        self.channel_table = network_to_channel_table(
+            cfg, cfg.VISION_SEM_SEG.SEM_SEG_NETWORK.DATASET.NUM_CLASSES
         )
         self._step_cache: Dict[Tuple, Callable] = {}
         self._runner_cache: Dict[Tuple, Callable] = {}
@@ -111,9 +113,9 @@ class FusedFramePipeline:
         )
         apply_update = self.engine._build_update()
         model = self.model
-        mean = jnp.asarray(IMAGENET_MEAN)
-        std = jnp.asarray(IMAGENET_STD)
-        table = self.channel_table
+        mean = np.asarray(IMAGENET_MEAN, dtype=np.float32)
+        std = np.asarray(IMAGENET_STD, dtype=np.float32)
+        table = np.asarray(self.channel_table)
         scale = self.image_scale
         full_hw = image_hw
         undistort_map = self._undistort_maps.get(camera)
@@ -139,7 +141,7 @@ class FusedFramePipeline:
             # channel image stays at decoder resolution; the engine gathers
             # with nearest-downscaled indices (exact INTER_NEAREST
             # equivalence, no full-res upsample materialized)
-            channel_img = table[jnp.clip(net_labels, 0, table.shape[0] - 1)]
+            channel_img = jnp.asarray(table)[jnp.clip(net_labels, 0, table.shape[0] - 1)]
 
             # projection + gather + evidence update (ref mapping.py:357-444)
             if confidence:

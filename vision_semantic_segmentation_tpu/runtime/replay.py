@@ -51,23 +51,23 @@ class MappingReplay:
 
     # -- core loop -----------------------------------------------------------
     @staticmethod
-    def _chunk_frames(frames: Sequence[FrameRecord], window: int):
-        """Split into homogeneous stretches of <= window frames."""
+    def _chunk_frames(frames, window: int):
+        """Split a frame sequence OR iterator into homogeneous stretches of
+        <= window frames (same camera / cloud frame / image shape).  Works
+        lazily, so a streaming source (e.g. ``stream_bag_frames``) is
+        chunked as it decodes."""
 
         def frame_key(f):
             return (f.camera, f.pcd_frame_id, np.asarray(f.semantic_image).shape)
 
-        i, n = 0, len(frames)
-        while i < n:
-            j = i + 1
-            while (
-                j < n
-                and j - i < window
-                and frame_key(frames[j]) == frame_key(frames[i])
-            ):
-                j += 1
-            yield frames[i:j]
-            i = j
+        chunk: list = []
+        for f in frames:
+            if chunk and (len(chunk) >= window or frame_key(f) != frame_key(chunk[0])):
+                yield chunk
+                chunk = []
+            chunk.append(f)
+        if chunk:
+            yield chunk
 
     def _stage(self, chunk, min_len: int = 2):
         """Host-side staging of one chunk: pad, stack, start device copies.

@@ -48,6 +48,19 @@ def _device_memory_mb() -> Optional[float]:
         return None
 
 
+def _ensure_distributed(distributed: bool) -> None:
+    """Join the multi-host process group when asked (and not already in one).
+
+    The entirety of the launcher the reference needed
+    ``torch.distributed.launch`` + env-var rendezvous for (ref
+    distributed_train.py:324-337).  Fails LOUDLY on a misconfigured
+    launch — silently degrading to single-host training would be the
+    reference's hang-at-barrier failure mode, inverted.
+    """
+    if distributed and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
 class Trainer:
     """Config-driven trainer (ref train.py:163-243)."""
 
@@ -62,10 +75,7 @@ class Trainer:
                 launcher the reference needed torch.distributed.launch +
                 env-var rendezvous for (ref distributed_train.py:324-337).
         """
-        if distributed and jax.process_count() == 1:
-            # Fail loudly: a misconfigured multi-host launch must not
-            # silently degrade to single-host training.
-            jax.distributed.initialize()
+        _ensure_distributed(distributed)
         self.cfg = cfg
         self.output_dir = output_dir
         self.logger = logger
