@@ -148,15 +148,21 @@ def render_frame(position, quaternion, scale=2, cam=None, palette=None):
 
 
 def make_poses():
-    """5 viewpoints x 10 yaw steps.
+    """9 viewpoints (3x3 lattice, 10 m spacing) x 10 yaw steps.
 
     Camera 1's ground footprint per frame is a ~46 deg wedge centered
     ~13 deg left of the body axis, blind inside ~5.8 m (measured through
-    the real calibration).  36 deg yaw steps overlap 10 deg; the center
-    viewpoint sits 14.1 m from each corner viewpoint, so every blind disc
-    is cross-covered within the 16 m point range."""
+    the real calibration).  The lattice keeps every cell within ~7.1 m of
+    some viewpoint, so RANGE_MAX can drop to 12 m: far-range radial
+    label quantization (0.4-0.9 m/px at 16 m) was the lane-IoU ceiling —
+    9 viewpoints + 12 m range + 144x192 training lifts lane IoU from
+    0.31 to 0.89 (measured sweep, ROUND_NOTES r03)."""
     poses = []
-    for cmx, cmy in [(110, 810), (110, 830), (130, 810), (130, 830), (120, 820)]:
+    viewpoints = [
+        (110, 810), (110, 830), (130, 810), (130, 830), (120, 820),
+        (120, 810), (120, 830), (110, 820), (130, 820),
+    ]
+    for cmx, cmy in viewpoints:
         for k in range(10):
             poses.append(_pose(cmx, cmy, yaw=k * np.pi / 5))
     return poses
@@ -278,16 +284,16 @@ def golden_bag(tmp_path_factory):
     # measurably collapses the thin-lane class (test development finding)
     from vision_semantic_segmentation_tpu.ops.resize import resize_area
 
-    train_idx = [0, 7, 14, 25, 32, 46]
+    train_idx = list(range(0, len(poses), max(1, len(poses) // 8)))[:8]
     small_imgs = [
-        np.asarray(resize_area(jnp.asarray(images[i]), (96, 128))).astype(
+        np.asarray(resize_area(jnp.asarray(images[i]), (144, 192))).astype(
             np.float32
         )
         for i in train_idx
     ]
-    small_labels = [net_labels[i][7::15, 7::15] for i in train_idx]
+    small_labels = [net_labels[i][4::10, 4::10] for i in train_idx]
     weight_path = str(root / "segmenter.npz")
-    acc = train_segmenter(small_imgs, small_labels, weight_path)
+    acc = train_segmenter(small_imgs, small_labels, weight_path, max_steps=200)
 
     bag_path = str(root / "bag.npz")
     frames = [
@@ -311,10 +317,10 @@ def golden_bag(tmp_path_factory):
     cfg.MAPPING.RESOLUTION = RES
     cfg.MAPPING.BOUNDARY = BOUNDARY
     cfg.MAPPING.POINT_BUCKET = 2 ** 16
-    # every cell is within 4-15 m of some viewpoint; capping the range
-    # keeps far, heavily-quantized observations out of the evidence
-    cfg.MAPPING.PCD.RANGE_MAX = 16.0
-    cfg.VISION_SEM_SEG.IMAGE_SCALE = 0.0667  # -> 96x128, = train resolution
+    # every cell is within ~7.1 m of some lattice viewpoint; capping the
+    # range keeps far, heavily-quantized observations out of the evidence
+    cfg.MAPPING.PCD.RANGE_MAX = 12.0
+    cfg.VISION_SEM_SEG.IMAGE_SCALE = 0.1  # -> 144x192, = train resolution
     cfg.VISION_SEM_SEG.UNDISTORT = False  # frames are rendered pinhole
     # argmax at 96x128 instead of the decoder's 24x32 (the reference's
     # upsample_pred=False default costs the thin lane class dearly at
@@ -360,17 +366,18 @@ class TestGoldenPipeline:
         evaluator = MapEvaluator(ground_truth_dir=golden_bag["gt_dir"])
         result = evaluator.test_single_map(color_map)
 
-        # Pinned quality floor for the synthetic scene (measured road 0.85,
-        # crosswalk 0.93, lane 0.28, missing 0.5% with margin for library
-        # drift).  The residual error is label quantization at the network
-        # input scale projected to the ground; the thin 0.8 m lane stripes
-        # are hardest (radial ground quantization is 0.4-0.9 m per network
-        # pixel row at the far end of each viewpoint's wedge).
-        assert result["iou"]["road"] >= 0.75, result
-        assert result["iou"]["crosswalk"] >= 0.80, result
-        assert result["iou"]["lane"] >= 0.20, result
-        assert result["miou"] >= 0.58, result
-        assert result["missing_rate"] <= 0.05, result
+        # Pinned quality floor (measured road 0.94, crosswalk 0.98, lane
+        # 0.89, missing 0.000 at this fixture config; margins for library
+        # drift).  Residual error is label quantization at the network
+        # input scale projected to the ground — the 9-viewpoint lattice +
+        # 12 m range cap + 144x192 train/infer resolution bound it to
+        # ~1 cell at the thin 0.8 m lane stripes (VERDICT r02 #8: lane
+        # floor raised 0.20 -> 0.60).
+        assert result["iou"]["road"] >= 0.85, result
+        assert result["iou"]["crosswalk"] >= 0.90, result
+        assert result["iou"]["lane"] >= 0.60, result
+        assert result["miou"] >= 0.80, result
+        assert result["missing_rate"] <= 0.02, result
 
     def test_cli_pipeline_from_rosbag(self, golden_bag):
         """The same pipeline driven from a ROS .bag recording: container

@@ -88,3 +88,52 @@ class TestDepthwiseDilated:
         np.testing.assert_allclose(
             np.asarray(out_pal), np.asarray(out_ref), atol=1e-5
         )
+
+
+class TestFusedMultiBranchDepthwise:
+    """One-HBM-read fused ASPP atrous kernel vs per-branch references
+    (VERDICT r02 #4)."""
+
+    def test_matches_xla_grouped_conv_per_branch(self):
+        import jax
+        from vision_semantic_segmentation_tpu.ops.pallas.depthwise import (
+            aspp_depthwise3x3_multi,
+        )
+
+        rng = np.random.default_rng(21)
+        h, w, c = 20, 28, 256
+        dilations = (2, 4, 6)
+        x = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+        ks = [
+            jnp.asarray(rng.standard_normal((3, 3, 1, c)), jnp.float32)
+            for _ in dilations
+        ]
+        outs = aspp_depthwise3x3_multi(x, ks, dilations, interpret=True)
+        assert len(outs) == 3
+        for o, k, d in zip(outs, ks, dilations):
+            ref = jax.lax.conv_general_dilated(
+                x, k.reshape(3, 3, 1, c), window_strides=(1, 1),
+                padding=((d, d), (d, d)), rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+            )
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=1e-5)
+
+    def test_bit_identical_to_single_branch_kernel(self):
+        from vision_semantic_segmentation_tpu.ops.pallas.depthwise import (
+            aspp_depthwise3x3_multi,
+            depthwise3x3_dilated,
+        )
+
+        rng = np.random.default_rng(22)
+        h, w, c = 14, 18, 128
+        dilations = (1, 3, 5)
+        x = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+        ks = [
+            jnp.asarray(rng.standard_normal((3, 3, 1, c)), jnp.float32)
+            for _ in dilations
+        ]
+        outs = aspp_depthwise3x3_multi(x, ks, dilations, interpret=True)
+        for o, k, d in zip(outs, ks, dilations):
+            ref = depthwise3x3_dilated(x, k, d, interpret=True)
+            np.testing.assert_array_equal(np.asarray(o), np.asarray(ref))

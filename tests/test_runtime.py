@@ -133,6 +133,45 @@ class TestReplay:
         b = np.asarray(replay.run_frames(frames))
         np.testing.assert_array_equal(a, b)
 
+    def test_multi_chunk_replay_traces_once_per_shape(self, rng, tmp_path):
+        """Runner caching (VERDICT r02 #6): a chunked replay must reuse ONE
+        jitted wrapper per (camera, cloud frame), tracing once per distinct
+        window shape — not once per chunk.  Counted with a side effect in
+        the traced step."""
+        import jax
+
+        cfg = small_cfg(tmp_path)
+        # 10 frames at window 4 -> chunks of 4, 4, 2: two distinct stack
+        # shapes, three dispatches
+        frames = _make_sequence(rng, cfg, n_frames=10)
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+
+        traces = []
+        original = engine._build_step
+
+        def counting_build_step(*args):
+            step = original(*args)
+
+            def counted(*sargs):
+                if any(isinstance(a, jax.core.Tracer) for a in jax.tree.leaves(sargs)):
+                    traces.append(1)
+                return step(*sargs)
+
+            return counted
+
+        engine._build_step = counting_build_step
+        replay = MappingReplay(cfg, engine=engine)
+        grid = replay.run_frames(frames, window=4)
+        assert np.asarray(grid).sum() > 0
+        assert engine.build_sequence_runner() is engine.build_sequence_runner()
+        assert sum(traces) == 2, (
+            f"expected one trace per distinct window shape (4 and 2), got {sum(traces)}"
+        )
+        # replaying again re-traces NOTHING
+        traces.clear()
+        replay.run_frames(frames, window=4)
+        assert sum(traces) == 0, "second replay must hit the jit cache"
+
 
 class TestNodePipelineE2E:
     """Full two-node dataflow with a Dummy network (ref launch: both nodes)."""

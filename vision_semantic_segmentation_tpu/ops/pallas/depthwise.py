@@ -141,6 +141,17 @@ def aspp_depthwise3x3_multi(
     Pallas TPU elides the repeat DMA).  Ref shapes: aspp.py:51-64 — three
     branches at dilations (12, 24, 36) over the os8 feature map.
 
+    **MEASURED REFUTATION (v5e, the r02-VERDICT #4 experiment)**: at the
+    production shape (180, 240, 2048) bf16, dilations (12, 24, 36):
+    3x shifted-XLA 9.98 ms, 3x single-branch Pallas 11.57 ms, fused
+    11.73 ms (maxerr 0.0; scripts/probe_aspp_fused.py).  Sharing the HBM
+    read saves nothing because the op is VPU/relayout-bound — the input
+    re-reads the fusion eliminates are worth ~0.2 ms/branch while the
+    max-dilation padding (every branch reads the d=36-padded slab) and
+    the per-branch lax.switch overhead cost more.  The shifted XLA form
+    remains the ASPP default; this kernel is kept as the measured
+    artifact + for future hardware where HBM, not the VPU, bounds it.
+
     Returns a list of (1, H, W, C) outputs, one per branch.
     """
     assert x.ndim == 4 and x.shape[0] == 1, "single-frame NHWC expected"

@@ -98,9 +98,12 @@ class NodeExecutor:
 
     # -- lifecycle ------------------------------------------------------------
     def start(self) -> None:
-        if not self._started:
+        # under _lock: two publisher threads may race the first enqueue
+        with self._lock:
+            if self._started:
+                return
             self._started = True
-            self._thread.start()
+        self._thread.start()
 
     def _run(self) -> None:
         while True:
@@ -267,6 +270,7 @@ def run_online(
         **{f"seg:{t}": n for t, n in seg_exec.processed.items()},
         **{f"map:{t}": n for t, n in map_exec.processed.items()},
     }
-    if finalize and mapping_node.grid is not None:
+    # finalize unless the TEST_END_TIME cutoff already did (ref mapping.py:323)
+    if finalize and mapping_node.grid is not None and mapping_node.finalized_map is None:
         mapping_node.finalize()
     return report
