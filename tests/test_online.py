@@ -235,3 +235,41 @@ class TestStreamBagFrames:
         assert first.stamp == pytest.approx(10.0)
         rest = list(it)
         assert len(rest) == 39
+
+
+class TestOnlineCLI:
+    def test_pipeline_rate_flag(self, rng, tmp_path):
+        """`pipeline --rate R`: the online mode end-to-end through the CLI
+        (bag timeline playback, concurrent nodes, drop report printed)."""
+        import jax
+        import jax.numpy as jnp
+
+        from test_runtime import small_cfg
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.models import build_model
+        from vision_semantic_segmentation_tpu.models.convert import save_npz
+
+        cfg = small_cfg(tmp_path)
+        cfg.VISION_SEM_SEG.UNDISTORT = False
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+        net_cfg.MODEL.COMPUTE_DTYPE = "float32"
+        model, *_ = build_model(net_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 12, 3), jnp.float32)
+        )
+        weight = str(tmp_path / "w.npz")
+        save_npz(variables, weight)
+        net_cfg.MODEL.WEIGHT = weight
+
+        bag = tmp_path / "cli.bag"
+        _make_bag(bag, rng, n_frames=3)
+        cfg_path = str(tmp_path / "online.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.dump())
+
+        report = main([
+            "pipeline", "--cfg", cfg_path, "--bag", str(bag), "--rate", "30",
+        ])
+        assert report.published == 10
+        assert report.processed.get("map:/current_pose", 0) == 3

@@ -274,7 +274,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_video)
 
     args = parser.parse_args(argv)
-    args.fn(args)
+    return args.fn(args)
 
 
 if __name__ == "__main__":
