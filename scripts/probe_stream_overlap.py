@@ -42,8 +42,8 @@ def main() -> None:
     from vision_semantic_segmentation_tpu.runtime.pipeline import FusedFramePipeline
     from vision_semantic_segmentation_tpu.runtime.replay import MappingReplay
     from vision_semantic_segmentation_tpu.runtime.rosbag import (
+        CompressedImageMsg,
         Header,
-        ImageMsg,
         PointCloud2Msg,
         PointField,
         PoseStampedMsg,
@@ -88,8 +88,16 @@ def main() -> None:
             Header(i, stamp, "/world"),
             np.array([x0 - 6.0, y0 + 20.0, 0.0]),
             np.array([0.0, 0.0, 0.0, 1.0])), stamp))
-        msgs.append(("/camera1/image_raw", ImageMsg(
-            Header(i, stamp, "camera1"), img_h, img_w, "rgb8", img), stamp))
+        # JPEG-compressed frames: the realistic recording format, and the
+        # case where per-frame decode (cv2.imdecode, ~40-60 ms at camera
+        # res) is worth overlapping with device compute
+        import cv2
+
+        ok, enc = cv2.imencode(".jpg", img[:, :, ::-1],
+                               [cv2.IMWRITE_JPEG_QUALITY, 90])
+        assert ok
+        msgs.append(("/camera1/image_raw", CompressedImageMsg(
+            Header(i, stamp, "camera1"), "jpeg", enc.tobytes()), stamp))
     bag = tempfile.mktemp(suffix=".bag", prefix="overlap_")
     write_bag(bag, msgs)
 

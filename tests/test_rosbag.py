@@ -13,6 +13,7 @@ import pytest
 
 from vision_semantic_segmentation_tpu.runtime.rosbag import (
     BagMessage,
+    CompressedImageMsg,
     Header,
     ImageMsg,
     PointCloud2Msg,
@@ -438,3 +439,22 @@ class TestMalformedPayloads:
         )
         assert len(frames) == 1
         assert frames[0].camera == "camera1"
+
+
+class TestCompressedImageRoundtrip:
+    def test_write_read_lossless_png(self, rng, tmp_path):
+        """CompressedImage serializes through write_bag and decodes back
+        (the recording format real camera bags use; the streaming decoder
+        overlaps its cv2.imdecode with device compute)."""
+        import cv2
+
+        img = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode(".png", img[:, :, ::-1])
+        assert ok
+        msg = CompressedImageMsg(Header(0, 1.5, "camera1"), "png", enc.tobytes())
+        path = str(tmp_path / "c.bag")
+        write_bag(path, [("/camera1/image_raw", msg, 1.5)])
+        recs = list(RosbagReader(path).read_messages())
+        assert len(recs) == 1
+        assert recs[0].type == "sensor_msgs/CompressedImage"
+        np.testing.assert_array_equal(recs[0].message.rgb(), img)

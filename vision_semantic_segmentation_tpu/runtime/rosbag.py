@@ -467,6 +467,14 @@ def serialize_message(msg: Any) -> Tuple[str, bytes]:
             + img.tobytes()
         )
         return "sensor_msgs/Image", payload
+    if isinstance(msg, CompressedImageMsg):
+        payload = (
+            _ser_ros_header(msg.header)
+            + _ser_string(msg.format)
+            + _U32.pack(len(msg.data))
+            + msg.data
+        )
+        return "sensor_msgs/CompressedImage", payload
     if isinstance(msg, PointCloud2Msg):
         body = _ser_ros_header(msg.header)
         body += _U32.pack(msg.height) + _U32.pack(msg.width)
