@@ -369,6 +369,66 @@ class SemanticMappingEngine:
             _, out = jax.lax.associative_scan(combine, (flags_first, values))
             return out
 
+        def _dense_update_dedupe_fast(grid, cell, cls, intensity, upd, gh, gw):
+            """The default-path update without argsort or segmented scans.
+
+            For 'reference' dedupe with unweighted evidence, the only
+            per-segment statistics needed are (a) segment existence and
+            (b) ANY(boost) — so the boost bit packs into the sort key's
+            LSB: a plain VALUES sort then puts each (cell, class)
+            segment's max-boost element LAST, where the unique-index
+            scatter already reads.  Replaces argsort (sorts (key, iota)
+            pairs + a gather) with a single-array sort and eliminates the
+            boost segmented scan + boost gather entirely — measured 14.1
+            -> 11.8 ms for the 2000^2/2^17 dense update on v5e
+            (scripts/probe_update_breakdown.py, r03; the remaining cost
+            is sort 3.5 + unique-scatters ~3 + evidence matmul/add ~3.7,
+            and the skinny (5,5)@(5,4M) matmul is already the FASTEST
+            evidence-fold form — elementwise broadcast-sum and unrolled
+            scaled-add variants both measured slower).
+            """
+            sentinel = gh * gw * num_cls
+            key = jnp.where(upd, cell * num_cls + jnp.clip(cls, 0), sentinel)
+            if use_intensity:
+                boost = upd & (cls == lane) & ((intensity < 2) | (intensity > 14))
+                packed = key * 2 + boost.astype(jnp.int32)
+            else:
+                packed = key * 2
+            psort = jnp.sort(packed)
+            ksort = psort // 2
+            kvalid = ksort < sentinel
+            is_last = jnp.concatenate([ksort[:-1] != ksort[1:], jnp.ones((1,), bool)])
+
+            n = ksort.shape[0]
+            arange_n = jnp.arange(n)
+            cls_s = ksort % num_cls
+            cell_s = ksort // num_cls
+            obs_idx = jnp.where(is_last & kvalid, cls_s * (gh * gw) + cell_s,
+                                sentinel + arange_n)
+            observations = jnp.zeros((num_cls * gh * gw,), grid.dtype)
+            observations = observations.at[obs_idx].add(
+                1.0, mode="drop", unique_indices=True
+            )
+            delta = jnp.matmul(
+                self_evidence,
+                observations.reshape(num_cls, gh * gw),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            grid = grid + delta.reshape(num_cls, gh, gw)
+
+            if use_intensity:
+                # segment-last element carries max(boost) == ANY(boost):
+                # within equal keys the packed sort orders boost=1 last
+                bstat = (psort % 2).astype(grid.dtype)
+                lane_seg = kvalid & (cls_s == lane)
+                bidx = jnp.where(is_last & lane_seg, cell_s, gh * gw + arange_n)
+                boost_buf = jnp.zeros((gh * gw,), grid.dtype)
+                boost_buf = boost_buf.at[bidx].add(
+                    2.0 * bstat, mode="drop", unique_indices=True
+                )
+                grid = grid.at[lane].add(boost_buf.reshape(gh, gw))
+            return grid
+
         def _dense_update(grid, cell, cls, intensity, upd, gh, gw, weights=None):
             # --- TPU-fast Bayesian update (ref :414-424) -------------------
             # XLA lowers a scatter with potentially-duplicate indices to a
@@ -379,6 +439,12 @@ class SemanticMappingEngine:
             # indices (vectorizable) into a dense (C, gh*gw) observation
             # buffer, and fold evidence in with ONE MXU matmul:
             #     grid += evidence @ observations
+            # packed key (key*2 + boost) must fit int32; beyond ~214M cells
+            # fall back to the general sort+scan path
+            if dedupe and weights is None and gh * gw * num_cls * 2 + 1 < 2 ** 31:
+                return _dense_update_dedupe_fast(
+                    grid, cell, cls, intensity, upd, gh, gw
+                )
             sentinel = gh * gw * num_cls
             key = jnp.where(upd, cell * num_cls + jnp.clip(cls, 0), sentinel)
             order = jnp.argsort(key)
