@@ -441,12 +441,18 @@ def run_fullroute() -> dict:
     }
 
 
-def _fullroute_subprocess() -> dict:
-    """Run the full-route stage time-boxed in a child process."""
+def _stage_subprocess(flag: str, timeout_s: float) -> dict:
+    """Run one bench stage time-boxed in a child process.
+
+    The tunnel's compile/first-run latency is nondeterministic (measured
+    21 s to 450 s for identical programs, plus occasional multi-minute
+    first-execution hangs); a child process bounds the damage to
+    ``timeout_s`` and surfaces the child's progress markers on timeout.
+    """
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--stage-fullroute"],
-            capture_output=True, text=True, timeout=FULLROUTE_TIMEOUT_S,
+            [sys.executable, os.path.abspath(__file__), flag],
+            capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
     except subprocess.TimeoutExpired as exc:
@@ -454,7 +460,7 @@ def _fullroute_subprocess() -> dict:
         if isinstance(stderr, bytes):
             stderr = stderr.decode(errors="replace")
         return {
-            "skipped": f"timeout after {FULLROUTE_TIMEOUT_S:.0f}s",
+            "skipped": f"timeout after {timeout_s:.0f}s",
             "progress": (stderr or "")[-300:],
         }
     for line in reversed(proc.stdout.strip().splitlines()):
@@ -470,20 +476,51 @@ def _fullroute_subprocess() -> dict:
     }
 
 
+def _stage_with_retry(flag: str, deadline: float) -> dict:
+    """Attempt a stage up to twice within the remaining wall budget."""
+    result = {}
+    for attempt in range(2):
+        remaining = deadline - time.monotonic()
+        if remaining < 120.0:
+            result.setdefault("skipped", "wall budget exhausted")
+            return result
+        result = _stage_subprocess(flag, min(FULLROUTE_TIMEOUT_S, remaining))
+        if "skipped" not in result:
+            return result
+        _progress(f"{flag} attempt {attempt + 1} failed: {result.get('skipped')}")
+    return result
+
+
 def main(quick: bool = False) -> None:
-    out = {}
-    try:
-        out.update(run_headline(quick))
-    except Exception as exc:  # noqa: BLE001 — ONE json line, rc 0, always
-        out.update({
+    """ONE JSON line, rc 0, always.
+
+    Both heavy stages run as time-boxed subprocesses with one retry under
+    a total wall budget — a compile-service hang can degrade a stage to a
+    ``skipped`` record but can never lose the artifact.
+    """
+    if quick:
+        out = {}
+        try:
+            out.update(run_headline(True))
+        except Exception as exc:  # noqa: BLE001
+            out.update({
+                "metric": "e2e_frames_per_sec_512x768_seg_plus_fusion",
+                "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+                "error": f"{type(exc).__name__}: {exc}"[:400],
+            })
+        print(json.dumps(out))
+        return
+
+    deadline = time.monotonic() + 2400.0  # total wall budget
+    out = _stage_with_retry("--stage-headline", deadline)
+    if "skipped" in out:
+        out = {
             "metric": "e2e_frames_per_sec_1440x1920_seg_plus_fusion",
-            "value": 0.0,
-            "unit": "frames/s",
-            "vs_baseline": 0.0,
-            "error": f"{type(exc).__name__}: {exc}"[:400],
-        })
-    if not quick and "error" not in out:
-        out["fullroute"] = _fullroute_subprocess()
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": out.get("skipped", "headline stage failed"),
+            "progress": out.get("progress", ""),
+        }
+    out["fullroute"] = _stage_with_retry("--stage-fullroute", deadline)
     print(json.dumps(out))
 
 
@@ -492,5 +529,7 @@ if __name__ == "__main__":
         # child entry: print the stage dict as one JSON line (errors land
         # on stderr; the parent degrades them to a skipped field)
         print(json.dumps(run_fullroute()))
+    elif "--stage-headline" in sys.argv:
+        print(json.dumps(run_headline(False)))
     else:
         main(quick="--quick" in sys.argv)
