@@ -32,8 +32,7 @@ T = 4
 def scan_time(name, apply_fn, variables, *inputs, n=2):
     """Time apply_fn over a T-frame scan with a readback barrier."""
 
-    @jax.jit
-    def run(v, *xs):
+    def run_impl(v, *xs):
         def body(acc, frame):
             out = apply_fn(v, *([f[None] for f in frame] if isinstance(frame, tuple) else [frame[None]]))
             return acc + jnp.sum(out.astype(jnp.float32).reshape(-1)[:1]), ()
@@ -42,6 +41,9 @@ def scan_time(name, apply_fn, variables, *inputs, n=2):
         acc, _ = jax.lax.scan(body, jnp.zeros(()), xs_stacked)
         return acc
 
+    # AOT: the jit dispatch path's compile machinery costs minutes in this
+    # environment (ROUND_NOTES r03)
+    run = jax.jit(run_impl).lower(variables, *inputs).compile()
     _ = float(run(variables, *inputs))
     t0 = time.perf_counter()
     for _ in range(n):

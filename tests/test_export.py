@@ -102,3 +102,30 @@ class TestExportRoundtrip:
         path.write_bytes(b"definitely not an export")
         with pytest.raises(ValueError, match="not a vsst export"):
             load_sequence_runner(str(path), {})
+
+
+class TestCompileCLI:
+    def test_cli_compile_writes_loadable_artifact(self, setup):
+        """`compile` CLI end-to-end: cfg + weights -> .vsstexp artifact that
+        loads and runs."""
+        import jax.numpy as jnp
+
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.models.convert import save_npz
+
+        cfg, pipeline, window, tmp_path = setup
+        weight = str(tmp_path / "w.npz")
+        save_npz(pipeline.variables, weight)
+        cfg.VISION_SEM_SEG.SEM_SEG_NETWORK.MODEL.WEIGHT = weight
+        cfg_path = str(tmp_path / "c.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.dump())
+        out = str(tmp_path / "cli.vsstexp")
+        main([
+            "compile", "--cfg", cfg_path, "--out", out,
+            "--height", "1440", "--width", "1920", "--window", "3",
+        ])
+        run, meta = load_sequence_runner(out, pipeline.variables)
+        assert meta["window"] == 3
+        grid = run(pipeline.engine.init_grid(), window)
+        assert float(jnp.sum(grid)) > 0

@@ -273,3 +273,27 @@ class TestOnlineCLI:
         ])
         assert report.published == 10
         assert report.processed.get("map:/current_pose", 0) == 3
+
+
+class TestExecutorResilience:
+    def test_callback_exception_does_not_kill_worker(self):
+        """A bad message is counted in .errors and the pipeline continues
+        (ROS logs callback exceptions and carries on)."""
+        bus = TopicBus()
+        ex = NodeExecutor("flaky")
+        got = []
+
+        def cb(m):
+            if m.data == "boom":
+                raise RuntimeError("bad message")
+            got.append(m.data)
+
+        ex.subscribe(bus, "/t", cb, queue_size=8)
+        bus.publish("/t", 1)
+        bus.publish("/t", "boom")
+        bus.publish("/t", 2)
+        assert ex.join(timeout=5.0)
+        ex.stop()
+        assert got == [1, 2]
+        assert ex.errors["/t"] == 1
+        assert ex.processed["/t"] == 2

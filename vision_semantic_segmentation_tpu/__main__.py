@@ -11,6 +11,7 @@ CLI:
     python -m vision_semantic_segmentation_tpu convert  ckpt.pth [--out ckpt.npz]
     python -m vision_semantic_segmentation_tpu export   input.{hkl,pkl,bag} [--out f.npz]
     python -m vision_semantic_segmentation_tpu video    --cfg demo.yaml --video in.mp4
+    python -m vision_semantic_segmentation_tpu compile  --cfg exp.yaml --out runner.vsstexp
 """
 from __future__ import annotations
 
@@ -59,6 +60,12 @@ def cmd_pipeline(args):
         # online mode: both nodes on their own executor threads, the bag
         # played at wall-clock rate, overload surfacing as frame drops
         # (the reference's live camera1_mapping.launch behavior)
+        if not args.bag.endswith(".bag"):
+            raise SystemExit(
+                "--rate needs a ROS .bag recording (its timeline drives the "
+                "wall clock); use `export` to convert, or replay .npz "
+                "sequences offline without --rate"
+            )
         from .runtime.async_bus import run_online
 
         report = run_online(cfg, args.bag, rate=float(args.rate))
@@ -203,6 +210,33 @@ def cmd_export(args):
     print(f"wrote {out} ({len(frames)} frames)")
 
 
+def cmd_compile(args):
+    """AOT-export the fused production pipeline to a serving artifact.
+
+    Serializes the lowered camera+LiDAR program (runtime/export.py):
+    loading it back skips Python tracing and JAX lowering entirely, so a
+    serving process boots in seconds.  The artifact pins (camera,
+    image size, window length, grid geometry); the model weights stay
+    external and are supplied at load time.
+    """
+    from .inference.predictor import SemanticSegmentation
+    from .mapping.engine import SemanticMappingEngine
+    from .runtime.export import export_sequence_runner
+    from .runtime.pipeline import FusedFramePipeline
+
+    cfg = _load_app_cfg(args.cfg)
+    predictor = SemanticSegmentation(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK)
+    engine = SemanticMappingEngine(cfg)
+    pipeline = FusedFramePipeline(
+        cfg, predictor.variables, engine=engine, distortion="points"
+    )
+    out = export_sequence_runner(
+        pipeline, args.out, image_hw=(args.height, args.width),
+        window=args.window, camera=args.camera,
+    )
+    print(f"wrote {out}")
+
+
 def cmd_video(args):
     from .config import get_demo_cfg_defaults, resolve_output_dir
 
@@ -267,6 +301,17 @@ def main(argv=None):
     p.add_argument("--pcd-topic", default="/reduced_map")
     p.add_argument("--pose-topic", default="/current_pose")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "compile", help="AOT-export the fused pipeline to a serving artifact"
+    )
+    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--out", default="runner.vsstexp")
+    p.add_argument("--camera", default="camera1")
+    p.add_argument("--height", type=int, default=1440)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--window", type=int, default=16)
+    p.set_defaults(fn=cmd_compile)
 
     p = sub.add_parser("video", help="segmentation overlay video demo")
     p.add_argument("--cfg", default="", metavar="FILE")

@@ -57,6 +57,7 @@ class NodeExecutor:
         self._order: deque = deque()  # topics with pending messages, FIFO
         self.drops: Dict[str, int] = defaultdict(int)
         self.processed: Dict[str, int] = defaultdict(int)
+        self.errors: Dict[str, int] = defaultdict(int)
         self._stop = False
         self._idle = threading.Condition()
         self._busy = 0
@@ -126,6 +127,17 @@ class NodeExecutor:
             try:
                 self._callbacks[topic](msg)
                 self.processed[topic] += 1
+            except Exception:  # noqa: BLE001 — a bad message must not kill
+                # the worker (ROS logs callback exceptions and carries on);
+                # counted in .errors and logged, the pipeline keeps running
+                import logging
+                import traceback
+
+                self.errors[topic] += 1
+                logging.getLogger(__name__).error(
+                    "executor %s: callback for %s raised\n%s",
+                    self.name, topic, traceback.format_exc(),
+                )
             finally:
                 with self._lock:
                     self._busy -= 1
