@@ -379,6 +379,41 @@ class TestGoldenPipeline:
         assert result["miou"] >= 0.80, result
         assert result["missing_rate"] <= 0.02, result
 
+    def test_cli_fused_confidence_pipeline_iou(self, golden_bag):
+        """`pipeline --fused --confidence`: the production fast path with
+        the softmax-confidence-weighted Bayesian update, scored end-to-end.
+
+        Also pins the UNDISTORT-aware distortion selection: the golden
+        frames are rendered pinhole (UNDISTORT False), so the fused path
+        must project pinhole — applying the plumb-bob point model against
+        rectified frames would mis-gather near the frame edges."""
+        import glob
+
+        import cv2
+
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.evaluation.map_eval import MapEvaluator
+
+        pattern = osp.join(str(golden_bag["root"]), "out", "**", "global_map_fused.png")
+        before = set(glob.glob(pattern, recursive=True))
+        main([
+            "pipeline", "--cfg", golden_bag["cfg_path"],
+            "--bag", golden_bag["bag_path"], "--fused", "--confidence",
+        ])
+        candidates = sorted(set(glob.glob(pattern, recursive=True)) - before)
+        assert candidates, "fused pipeline wrote no global_map_fused.png"
+
+        color_map = cv2.imread(candidates[-1])
+        evaluator = MapEvaluator(ground_truth_dir=golden_bag["gt_dir"])
+        result = evaluator.test_single_map(color_map)
+        # confidence-weighted evidence on an overfit segmenter behaves
+        # close to the unweighted update; floors a notch under the
+        # two-node path's (which also differs by the class-id shortcut)
+        assert result["iou"]["road"] >= 0.80, result
+        assert result["iou"]["crosswalk"] >= 0.85, result
+        assert result["iou"]["lane"] >= 0.50, result
+        assert result["missing_rate"] <= 0.05, result
+
     def test_cli_pipeline_from_rosbag(self, golden_bag):
         """The same pipeline driven from a ROS .bag recording: container
         serialization -> bag adapter -> nodes -> map (subset of frames,

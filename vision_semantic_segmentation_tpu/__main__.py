@@ -55,7 +55,9 @@ def cmd_pipeline(args):
 
     cfg = _load_app_cfg(args.cfg)
     if getattr(args, "fused", False):
-        return _fused_pipeline(cfg, args.bag)
+        return _fused_pipeline(
+            cfg, args.bag, confidence=getattr(args, "confidence", False)
+        )
     if getattr(args, "rate", 0):
         # online mode: both nodes on their own executor threads, the bag
         # played at wall-clock rate, overload surfacing as frame drops
@@ -97,11 +99,18 @@ def cmd_pipeline(args):
         node.finalize()
 
 
-def _fused_pipeline(cfg, bag_path: str):
+def _fused_pipeline(cfg, bag_path: str, confidence: bool = False):
     """Raw frames -> FusedFramePipeline windows -> finalized map (+ eval).
 
     Reuses MappingReplay's chunking/staging (host double-buffering comes
     for free) with the fused runner dispatching each staged window.
+    Distortion follows ``VISION_SEM_SEG.UNDISTORT``: True means the
+    recording is RAW camera frames, handled via the distortion-on-points
+    mode; False means frames are already rectified/pinhole, so the
+    projection must be pinhole too (applying the plumb-bob model to
+    points against a rectified frame would mis-gather near the edges).
+    ``confidence`` enables the softmax-confidence-weighted Bayesian
+    update (the fused confidence head; extension beyond the reference).
     """
     from .inference.predictor import SemanticSegmentation
     from .mapping.engine import SemanticMappingEngine
@@ -126,8 +135,15 @@ def _fused_pipeline(cfg, bag_path: str):
     net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
     predictor = SemanticSegmentation(net_cfg)  # loads MODEL.WEIGHT
     engine = SemanticMappingEngine(cfg)
+    undistort = (
+        bool(cfg.VISION_SEM_SEG.UNDISTORT)
+        if "UNDISTORT" in cfg.VISION_SEM_SEG
+        else True
+    )
     pipeline = FusedFramePipeline(
-        cfg, predictor.variables, engine=engine, distortion="points"
+        cfg, predictor.variables, engine=engine,
+        distortion="points" if undistort else "none",
+        confidence_weighting=confidence,
     )
     replay = MappingReplay(cfg, engine=engine)
 
@@ -273,6 +289,11 @@ def main(argv=None):
         "--rate", type=float, default=0.0, metavar="R",
         help="online mode: play the bag at R x real time through "
         "concurrently-executing nodes; overload drops frames (reported)",
+    )
+    p.add_argument(
+        "--confidence", action="store_true",
+        help="with --fused: weight each point's Bayesian evidence by the "
+        "network's softmax confidence at its pixel",
     )
     p.set_defaults(fn=cmd_pipeline)
 
