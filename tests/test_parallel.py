@@ -609,3 +609,67 @@ class TestFeatureMatrix:
         np.testing.assert_allclose(
             np.asarray(gather_grid(grid_sh)), np.asarray(grid_ref), atol=1e-4
         )
+
+
+class TestGridShardsConfig:
+    """MAPPING.GRID_SHARDS wires the sharded paths from config alone."""
+
+    def _frames(self, rng, cfg, n):
+        from test_mapping import make_frame
+        from vision_semantic_segmentation_tpu.runtime.io import FrameRecord
+
+        frames = []
+        for i in range(n):
+            pts, img, position, quaternion = make_frame(rng, cfg, n=900)
+            frames.append(FrameRecord(
+                pcd=pts, pcd_frame_id="world", semantic_image=img,
+                position=position, quaternion=quaternion, stamp=float(i),
+            ))
+        return frames
+
+    def test_sequential_replay_with_grid_shards(self, rng, devices, tmp_path):
+        from test_runtime import small_cfg
+        from vision_semantic_segmentation_tpu.runtime.replay import MappingReplay
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        frames = self._frames(rng, cfg, 4)
+
+        ref = MappingReplay(
+            cfg, engine=SemanticMappingEngine(cfg, evidence=np.eye(5))
+        )
+        want = np.asarray(ref.run_frames(frames))
+        assert want.sum() > 0
+
+        cfg4 = small_cfg(tmp_path)
+        cfg4.MAPPING.POINT_BUCKET = 2048
+        cfg4.MAPPING.GRID_SHARDS = 4
+        sharded = MappingReplay(
+            cfg4, engine=SemanticMappingEngine(cfg4, evidence=np.eye(5))
+        )
+        got = sharded.run_frames(frames)
+        assert got.sharding.spec == jax.sharding.PartitionSpec(None, "grid")
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_frame_parallel_with_grid_shards_composes(self, rng, devices, tmp_path):
+        from test_runtime import small_cfg
+        from vision_semantic_segmentation_tpu.runtime.replay import MappingReplay
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        frames = self._frames(rng, cfg, 8)
+        ref = MappingReplay(
+            cfg, engine=SemanticMappingEngine(cfg, evidence=np.eye(5))
+        )
+        want = np.asarray(ref.run_frames(frames))
+
+        cfg2 = small_cfg(tmp_path)
+        cfg2.MAPPING.POINT_BUCKET = 2048
+        cfg2.MAPPING.GRID_SHARDS = 2
+        replay = MappingReplay(
+            cfg2, engine=SemanticMappingEngine(cfg2, evidence=np.eye(5)),
+            frame_parallel=True,
+        )
+        got = replay.run_frames_parallel(frames)
+        # frames shard over 4 data shards, grid rows over 2 — one psum
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)

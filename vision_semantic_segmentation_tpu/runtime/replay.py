@@ -40,6 +40,13 @@ class MappingReplay:
         sequences fall back to the sequential window path."""
         self.frame_parallel = bool(frame_parallel)
         self.cfg = cfg
+        from ..mapping.engine import getattr_cfg
+
+        # MAPPING.GRID_SHARDS > 1: the grid row-shards over a ('grid',)
+        # mesh axis (each device owns a band in its HBM — the config knob
+        # for grids beyond one device's memory, SURVEY.md section 5);
+        # composes with frame_parallel over a 2D ('data', 'grid') mesh
+        self.grid_shards = int(getattr_cfg(cfg, "MAPPING.GRID_SHARDS", 1))
         output_dir = resolve_output_dir(cfg.OUTPUT_DIR, cfg.TASK_NAME)
         if logger is None:
             logger = MyLogger("mapping_replay", save_dir=output_dir, use_timestamp=False)
@@ -109,6 +116,9 @@ class MappingReplay:
         while the device fuses the current one (host double-buffering,
         SURVEY.md section 7 "host/device pipelining").
         """
+        if self.grid_shards > 1:
+            return self._run_frames_grid_sharded(frames)
+
         engine = self.engine
         grid = engine.init_grid()
         bucket = engine.point_bucket
@@ -145,6 +155,47 @@ class MappingReplay:
                 grid = dispatch(grid, chunk, staged)
         return grid
 
+    def _run_frames_grid_sharded(self, frames: Sequence[FrameRecord]):
+        """Sequential replay with the grid row-sharded over ('grid',).
+
+        MAPPING.GRID_SHARDS devices each keep one row band HBM-resident
+        (parallel/grid_shard.py); frames step one at a time with
+        cell-ownership-routed updates — for grids larger than a single
+        device's memory.  Matches the unsharded replay (pinned in
+        tests/test_runtime.py).
+        """
+        from ..parallel.grid_shard import init_sharded_grid, make_sharded_step
+        from ..parallel.mesh import create_mesh
+
+        devices = jax.devices()
+        assert self.grid_shards <= len(devices), (
+            f"MAPPING.GRID_SHARDS={self.grid_shards} but only "
+            f"{len(devices)} devices are visible"
+        )
+        mesh = create_mesh(
+            axis_names=("grid",), devices=devices[: self.grid_shards]
+        )
+        engine = self.engine
+        grid = init_sharded_grid(engine, mesh)
+        steps = {}
+        for f in frames:
+            key = (f.camera, f.pcd_frame_id == "velodyne")
+            if key not in steps:
+                steps[key] = make_sharded_step(
+                    engine, mesh, camera=f.camera,
+                    pcd_in_velodyne_frame=key[1],
+                )
+            pcd, valid = pad_points(
+                np.asarray(f.pcd, dtype=np.float32), engine.point_bucket
+            )
+            grid = steps[key](
+                grid, jnp.asarray(pcd), jnp.asarray(valid),
+                jnp.asarray(f.semantic_image),
+                jnp.asarray(f.position, jnp.float32),
+                jnp.asarray(f.quaternion, jnp.float32),
+            )
+        return grid
+
     def run_frames_parallel(
         self,
         frames: Sequence[FrameRecord],
@@ -171,11 +222,37 @@ class MappingReplay:
             "frame-parallel replay needs a homogeneous sequence; got "
             f"cameras={cameras}, cloud frames={cloud_frames}"
         )
+        velodyne = frames[0].pcd_frame_id == "velodyne"
+        if mesh is None and self.grid_shards > 1:
+            # sp x fp composed: frames shard over 'data', grid rows over
+            # 'grid' (parallel/grid_shard.py::make_sharded_frame_parallel_run)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.grid_shard import (
+                init_sharded_grid,
+                make_sharded_frame_parallel_run,
+            )
+
+            n_dev = len(jax.devices())
+            assert n_dev % self.grid_shards == 0, (
+                f"{n_dev} devices do not split into GRID_SHARDS="
+                f"{self.grid_shards}"
+            )
+            mesh2d = create_mesh(
+                axis_sizes=(n_dev // self.grid_shards, self.grid_shards),
+                axis_names=(axis, "grid"), devices=jax.devices(),
+            )
+            run = make_sharded_frame_parallel_run(
+                self.engine, mesh2d, data_axis=axis,
+                camera=frames[0].camera, pcd_in_velodyne_frame=velodyne,
+            )
+            stacked = stack_frames(self.engine, frames, mesh2d, axis=axis)
+            return run(init_sharded_grid(self.engine, mesh2d), *stacked)
         if mesh is None:
             mesh = create_mesh(axis_names=(axis,), devices=jax.devices())
         run = make_frame_parallel_run(
             self.engine, mesh, axis=axis, camera=frames[0].camera,
-            pcd_in_velodyne_frame=frames[0].pcd_frame_id == "velodyne",
+            pcd_in_velodyne_frame=velodyne,
         )
         stacked = stack_frames(self.engine, frames, mesh, axis=axis)
         return run(self.engine.init_grid(), *stacked)
