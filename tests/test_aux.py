@@ -367,3 +367,45 @@ class TestTensorboardAndViz:
         import os.path as osp
 
         assert osp.exists(out)
+
+
+class TestPaletteFromCfg:
+    """TRAIN_DATASET / DATASET_CONFIG select the node/demo palette like
+    the reference (ref video_generator.py:24-27,
+    vision_semantic_segmentation_node.py:62-63)."""
+
+    def test_default_is_mapillary(self):
+        from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+        from vision_semantic_segmentation_tpu.ops.colormap import (
+            MAPILLARY_19_PALETTE,
+        )
+        from vision_semantic_segmentation_tpu.train.datasets.visualization import (
+            palette_from_cfg,
+        )
+
+        net = get_cfg_defaults().VISION_SEM_SEG.SEM_SEG_NETWORK
+        assert np.array_equal(palette_from_cfg(net), MAPILLARY_19_PALETTE)
+
+    def test_bdd_and_dataset_config(self, tmp_path):
+        import json
+
+        from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+        from vision_semantic_segmentation_tpu.train.datasets.visualization import (
+            bdd_trainid_color_map,
+            palette_from_cfg,
+        )
+
+        net = get_cfg_defaults().VISION_SEM_SEG.SEM_SEG_NETWORK
+        bdd = net.clone()
+        bdd.TRAIN_DATASET = "BDD"
+        assert np.array_equal(palette_from_cfg(bdd), bdd_trainid_color_map())
+
+        path = tmp_path / "config.json"
+        path.write_text(json.dumps({"labels": [
+            {"color": [1, 2, 3], "name": "a"},
+            {"color": [9, 8, 7], "name": "b"},
+        ]}))
+        custom = net.clone()
+        custom.DATASET_CONFIG = str(path)
+        p = palette_from_cfg(custom)
+        assert p.shape == (256, 3) and list(p[1]) == [9, 8, 7]

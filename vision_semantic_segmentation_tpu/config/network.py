@@ -44,6 +44,9 @@ def _train_base() -> CN:
     _C.DATALOADER = CN()
     _C.DATALOADER.NUM_WORKERS = 0
     _C.DATALOADER.DROP_LAST = True
+    # accepted for YAML compatibility; host->device staging is always
+    # double-buffered here (runtime/replay.py), so there is no CUDA
+    # pinned-memory analogue to toggle
     _C.DATALOADER.PIN_MEMORY = True
 
     _C.OPTIMIZER = CN()
@@ -61,6 +64,8 @@ def _train_base() -> CN:
     _C.SCHEDULER = CN()
     _C.SCHEDULER.TYPE = ""
     _C.SCHEDULER.MAX_EPOCH = 1
+    # accepted for YAML compatibility (the reference defines but never
+    # consumes it either, ref config/base.py:100)
     _C.SCHEDULER.CLIP_LR = 0.0
     _C.SCHEDULER.StepLR = CN()
     _C.SCHEDULER.StepLR.step_size = 0
@@ -88,6 +93,8 @@ def _train_base() -> CN:
     _C.VALIDATE.BATCH_SIZE = 1
     _C.VALIDATE.PERIOD = DISABLE
     _C.VALIDATE.LOG_PERIOD = DISABLE
+    # accepted for YAML compatibility (unused by the reference too);
+    # validation always reports mIoU + loss here
     _C.VALIDATE.METRIC = ""
     _C.VALIDATE.AUGMENTATION = ()
 

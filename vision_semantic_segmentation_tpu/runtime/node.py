@@ -64,7 +64,12 @@ class SegmentationNode:
         _sub = _make_subscriber(bus, executor)
         self.image_scale = float(cfg.VISION_SEM_SEG.IMAGE_SCALE)
         self.predictor = predictor or SemanticSegmentation(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK)
-        self.palette = MAPILLARY_19_PALETTE
+        # colors from the network cfg's DATASET_CONFIG labels JSON when
+        # set (ref vision_semantic_segmentation_node.py:62-63), else the
+        # built-in Mapillary-19 palette
+        from ..train.datasets.visualization import palette_from_cfg
+
+        self.palette = palette_from_cfg(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK)
         self.publish_hulls = publish_hulls
         self.plane = None
         self.plane_last_update = 0.0

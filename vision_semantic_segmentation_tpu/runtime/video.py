@@ -24,7 +24,7 @@ def generate_video(
     output_dir: str,
     output_name: str = "",
     predictor: Optional[SemanticSegmentation] = None,
-    palette: np.ndarray = MAPILLARY_19_PALETTE,
+    palette: Optional[np.ndarray] = None,
     blend: float = 0.5,
     resize_hw: Optional[Tuple[int, int]] = None,
     max_frames: Optional[int] = None,
@@ -42,6 +42,12 @@ def generate_video(
 
     if predictor is None:
         predictor = SemanticSegmentation(cfg)
+    if palette is None:
+        # select by TRAIN_DATASET / DATASET_CONFIG like the reference's
+        # demo (ref video_generator.py:24-27, 96-101)
+        from ..train.datasets.visualization import palette_from_cfg
+
+        palette = palette_from_cfg(cfg)
 
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():

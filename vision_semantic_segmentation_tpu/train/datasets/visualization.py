@@ -25,6 +25,31 @@ def get_labels(dataset_config_path: str) -> List[dict]:
         return json.load(f)["labels"]
 
 
+def palette_from_cfg(net_cfg) -> np.ndarray:
+    """Label palette selected by the network config.
+
+    Mirrors the reference's selection logic: the video demo switches on
+    ``TRAIN_DATASET`` (ref video_generator.py:24-27, 96-101) and the seg
+    node loads colors from the ``DATASET_CONFIG`` labels JSON
+    (ref vision_semantic_segmentation_node.py:62-63).  Falls back to the
+    built-in Mapillary-19 palette.
+    """
+    if net_cfg is None:
+        return MAPILLARY_19_PALETTE
+    train_dataset = str(net_cfg.TRAIN_DATASET) if "TRAIN_DATASET" in net_cfg else ""
+    if train_dataset.upper() == "BDD":
+        return bdd_trainid_color_map()
+    dataset_config = (
+        str(net_cfg.DATASET_CONFIG) if "DATASET_CONFIG" in net_cfg else ""
+    )
+    if dataset_config:
+        palette = np.zeros((256, 3), dtype=np.uint8)
+        for i, label in enumerate(get_labels(dataset_config)):
+            palette[i] = label["color"]
+        return palette
+    return MAPILLARY_19_PALETTE
+
+
 def apply_color_map(label_array: np.ndarray, labels: Sequence[dict]) -> np.ndarray:
     """Label id image -> RGB using labels[i]['color'] (ref :70-89).
 
