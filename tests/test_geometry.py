@@ -254,3 +254,65 @@ class TestClipPcdByDistancePlane:
         assert ((yf >= 3.0) | (yf <= -1.0)).all()
         # intensity column rides along
         assert close.shape[1] == 4
+
+
+class TestSmallUtilParity:
+    """The last reference utils.py functions (ref :93-177, :180-219)."""
+
+    def test_differentiate_sinc(self):
+        from vision_semantic_segmentation_tpu.geometry.transforms import (
+            differentiate_sinc,
+        )
+
+        xs = np.array([0.0, 0.5, 1.3, -2.0])
+        got = np.asarray(differentiate_sinc(xs))
+        for x, g in zip(xs, got):
+            want = 0.0 if x == 0 else np.cos(x) / x - np.sin(x) / x**2
+            np.testing.assert_allclose(g, want, atol=1e-6)
+
+    def test_singularity_normalization(self):
+        from vision_semantic_segmentation_tpu.geometry.transforms import (
+            deparameterize_rotation,
+            singularity_normalization,
+        )
+
+        w = np.array([[0.0], [0.0], [np.pi + 0.5]])
+        wn = singularity_normalization(w)
+        assert np.linalg.norm(wn) <= np.pi + 1e-9
+        # same rotation either way
+        np.testing.assert_allclose(
+            np.asarray(deparameterize_rotation(wn.ravel())),
+            np.asarray(deparameterize_rotation(w.ravel())),
+            atol=1e-6,
+        )
+        small = np.array([[0.1], [0.2], [0.0]])
+        np.testing.assert_array_equal(singularity_normalization(small), small)
+
+    def test_jacobian_vector_norm(self):
+        from vision_semantic_segmentation_tpu.geometry.transforms import (
+            jacobian_vector_norm,
+        )
+
+        v = np.array([[3.0], [4.0]])
+        got = np.asarray(jacobian_vector_norm(v))
+        np.testing.assert_allclose(got, [[0.6, 0.8]], atol=1e-6)
+
+    def test_right_null(self):
+        from vision_semantic_segmentation_tpu.geometry.transforms import right_null
+
+        A = np.diag([1.0, 1.0, 0.0])  # rank-deficient square: null = e3
+        n = right_null(A)
+        np.testing.assert_allclose(np.abs(n.ravel()), [0, 0, 1], atol=1e-8)
+        assert right_null(np.eye(3)) is None
+
+    def test_concat_image_list(self):
+        from vision_semantic_segmentation_tpu.utils.images import concat_image_list
+
+        a = np.zeros((8, 10, 3), np.uint8)
+        b = np.full((12, 6), 255, np.uint8)  # grayscale, larger
+        panel = concat_image_list([a, b])
+        # every image resizes to the min (8, 6) like the reference -> 6+6 wide
+        assert panel.shape == (8, 12, 3)
+        assert concat_image_list([]) is None
+        one = concat_image_list([a])
+        np.testing.assert_array_equal(one, a)

@@ -111,6 +111,43 @@ def rotation_2d(angle: Array) -> Array:
     return jnp.array([[c, -s], [s, c]])
 
 
+def differentiate_sinc(x: Array) -> Array:
+    """d/dx sinc(x), with the removable singularity at 0 (ref utils.py:93-97)."""
+    x = jnp.asarray(x)
+    safe = jnp.where(x == 0, 1.0, x)
+    return jnp.where(x == 0, 0.0, jnp.cos(safe) / safe - jnp.sin(safe) / safe**2)
+
+
+def singularity_normalization(w: np.ndarray) -> np.ndarray:
+    """Wrap an axis-angle vector into |w| <= pi (ref utils.py:116-121).
+
+    The axis-angle chart has a singularity at 2*pi; re-normalize whenever
+    w changes (host-side, like the reference).
+    """
+    w = np.asarray(w, dtype=np.float64)
+    theta = np.linalg.norm(w)
+    if theta > np.pi:
+        w = (1 - 2 * np.pi / theta * np.ceil((theta - np.pi) / (2 * np.pi))) * w
+    return w
+
+
+def jacobian_vector_norm(v: Array) -> Array:
+    """d|v|/dv as a row vector, for a column vector v (ref utils.py:165-168)."""
+    v = jnp.asarray(v)
+    assert v.ndim == 2 and v.shape[1] == 1, "column vector expected"
+    return v.T / jnp.linalg.norm(v)
+
+
+def right_null(A: np.ndarray, tol: float = 1e-5):
+    """Right null-space vector of A, or None when it does not exist
+    (ref utils.py:171-177; host-side SVD diagnostic)."""
+    A = np.asarray(A, dtype=np.float64)
+    _, S, VT = np.linalg.svd(A)
+    if S[-1] < tol:
+        return VT.T[:, -1:]
+    return None
+
+
 def euler_matrix(ai: float, aj: float, ak: float) -> np.ndarray:
     """4x4 homogeneous rotation from static-frame xyz Euler angles.
 
