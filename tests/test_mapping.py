@@ -720,3 +720,62 @@ class TestConfidenceWeightedUpdate:
         )
         r7, c7 = 7 // w, 7 % w
         assert grid[2, r7, c7] == pytest.approx(1.7)
+
+
+class TestCarOverlayAndPoseNormal:
+    """The reference's unwired diagnostic helpers, implemented + tested
+    (ref mapping.py:490-526 'not tested, may have bug';
+    ref utils_ros.py:113-123)."""
+
+    def test_add_car_to_map_paints_footprint(self):
+        from vision_semantic_segmentation_tpu.mapping.renderer import add_car_to_map
+
+        color_map = np.zeros((200, 200, 3), np.uint8)
+        out = add_car_to_map(
+            color_map, position_rel=np.array([10.0, 10.0]), yaw_rel=0.0,
+            resolution=0.1, map_boundary=[[0, 20], [0, 20]],
+        )
+        painted = (out == [255, 0, 0]).all(axis=-1)
+        # 4.0 x 1.8 m at 0.1 m -> 40 x 18 cells
+        assert painted.sum() == 40 * 18
+        rows = np.where(painted.any(axis=1))[0]
+        cols = np.where(painted.any(axis=0))[0]
+        assert rows.max() - rows.min() + 1 == 40
+        assert cols.max() - cols.min() + 1 == 18
+
+    def test_add_car_clips_out_of_map(self):
+        from vision_semantic_segmentation_tpu.mapping.renderer import add_car_to_map
+
+        color_map = np.zeros((50, 50, 3), np.uint8)
+        out = add_car_to_map(
+            color_map, position_rel=np.array([0.2, 0.2]), yaw_rel=0.7,
+            resolution=0.1, map_boundary=[[0, 5], [0, 5]],
+        )
+        assert (out == [255, 0, 0]).all(axis=-1).sum() > 0  # partial, no crash
+
+    def test_get_normal_from_pose(self):
+        from vision_semantic_segmentation_tpu.utils.ros_compat import (
+            get_normal_from_pose,
+        )
+
+        # identity orientation: normal = +z
+        n = get_normal_from_pose(None, np.array([0.0, 0.0, 0.0, 1.0]))
+        np.testing.assert_allclose(n, [[0], [0], [1]], atol=1e-6)
+        # 90 deg about x: z axis maps to -y
+        q = np.array([np.sin(np.pi / 4), 0.0, 0.0, np.cos(np.pi / 4)])
+        n = get_normal_from_pose(None, q)
+        np.testing.assert_allclose(n, [[0], [-1], [0]], atol=1e-6)
+
+    def test_bounding_box_to_ray(self):
+        from vision_semantic_segmentation_tpu.geometry.bounding_box import BoundingBox
+        from vision_semantic_segmentation_tpu.geometry.camera import camera_setup_1
+
+        cam = camera_setup_1()
+        bbox = BoundingBox(left=900, top=700, width=100, height=100)
+        d, C = cam.bounding_box_to_ray(bbox)
+        # same as casting the bottom-center pixel directly
+        import jax.numpy as jnp
+
+        d2, C2 = cam.pixel_to_ray(jnp.asarray([[950.0], [800.0]]))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C2), atol=1e-6)

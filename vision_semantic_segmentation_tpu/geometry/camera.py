@@ -88,6 +88,15 @@ class Camera:
             C = jnp.zeros((3, 1), dtype=d.dtype)
         return d, C
 
+    def bounding_box_to_ray(self, bbox) -> Tuple[Array, Array]:
+        """Ray through a bounding box's bottom-center point (ref camera.py:74-77)."""
+        import numpy as np
+
+        ix, iy = bbox.bottom_point()
+        return self.pixel_to_ray(
+            jnp.asarray(np.array([[ix], [iy]], dtype=np.float64)), world=True
+        )
+
     def distort_normalized(self, xy: Array) -> Array:
         """Apply plumb-bob distortion to normalized coords (2, N)."""
         if self.dist is None:

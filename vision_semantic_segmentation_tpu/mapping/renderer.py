@@ -187,3 +187,52 @@ def map_layer_images(grid: Array, normalize: bool = True) -> Array:
         hi = grid.max(axis=(0, 1), keepdims=True)
         scaled = (grid - lo) / jnp.maximum(hi - lo, 1e-12) * 255.0
     return jnp.clip(scaled, 0, 255).astype(jnp.uint8).transpose(2, 0, 1)
+
+
+def add_car_to_map(
+    color_map: np.ndarray,
+    position_rel: np.ndarray,
+    yaw_rel: float,
+    resolution: float,
+    map_boundary,
+    length: float = 4.0,
+    width: float = 1.8,
+    color=(255, 0, 0),
+) -> np.ndarray:
+    """Paint the ego-car footprint onto a rendered map (ref mapping.py:490-526).
+
+    The reference ships this visualization helper unwired and flagged
+    "not tested, may have bug"; here it is implemented to its evident
+    intent and tested.  A ``length`` x ``width`` rectangle centered per
+    the reference's car-center convention rotates by ``yaw_rel`` and
+    translates by ``position_rel`` (meters, map frame), then paints in
+    row=x/col=y grid convention.  Out-of-map cells are clipped (the
+    reference would wrap or crash).  Returns the modified map (in place).
+    """
+    import numpy as np
+
+    from ..geometry.transforms import rotation_2d
+
+    h, w = color_map.shape[:2]
+    mask_length = max(int(length / resolution), 1)
+    mask_width = max(int(width / resolution), 1)
+    car_center = np.array([[length / 4.0], [width / 2.0]]) / resolution
+
+    ix = np.tile(np.arange(mask_length), mask_width)
+    iy = np.repeat(np.arange(mask_width), mask_length)
+    ixy = np.vstack([ix, iy]).astype(np.float64)
+
+    R = np.asarray(rotation_2d(float(yaw_rel)))
+    pos = np.asarray(position_rel, dtype=np.float64).reshape(-1)[:2]
+    origin = np.array(
+        [[-float(map_boundary[0][0]) / resolution], [0.0]]
+    )
+    ixy_map = R @ (ixy - car_center) + pos.reshape(2, 1) / resolution + origin
+    ixy_map = ixy_map.astype(np.int64)
+
+    ok = (
+        (ixy_map[0] >= 0) & (ixy_map[0] < h)
+        & (ixy_map[1] >= 0) & (ixy_map[1] < w)
+    )
+    color_map[ixy_map[0, ok], ixy_map[1, ok]] = np.asarray(color, np.uint8)
+    return color_map

@@ -132,3 +132,18 @@ class TransformTree:
         except LookupError:
             return None, None
         return T, T[:3, 3].copy()
+
+
+def get_normal_from_pose(position, quaternion_xyzw) -> "np.ndarray":
+    """Unit z-axis of a pose's orientation, as a (3, 1) normal.
+
+    Rebuild of ref utils_ros.py:113-123 (which pulled the frame's UnitZ
+    via tf_conversions): the rotation matrix's third column IS that axis.
+    Used to derive a ground-plane normal from a vehicle pose.
+    """
+    import jax.numpy as jnp
+
+    from ..geometry.transforms import quaternion_matrix
+
+    T = quaternion_matrix(jnp.asarray(quaternion_xyzw))
+    return np.asarray(T)[0:3, 2:3]
