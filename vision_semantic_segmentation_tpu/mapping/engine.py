@@ -176,6 +176,14 @@ class SemanticMappingEngine:
         if cameras:
             self.cameras.update(cameras)
 
+        # Evidence-fold implementation: False (default) = XLA matmul.
+        # The fused Pallas fold (ops/pallas/fold.py) HALVES the isolated
+        # dense update (11.8 -> 6.2 ms) but REGRESSES the composed fused
+        # step (+5.7 ms: the custom-call boundary breaks XLA's fusions
+        # around the scatter inside the scanned program) — measured r03,
+        # kept opt-in for standalone/update-dominated workloads.
+        self.use_pallas_fold = False
+
         # One compiled step / sequence runner per (camera, pcd-frame)
         # combination — a fresh jax.jit wrapper per call would lose jit's
         # compilation cache and re-trace every chunk of a long replay
@@ -344,6 +352,27 @@ class SemanticMappingEngine:
         # Host numpy on purpose — see the constant-embedding note in
         # _build_pointwise.
         self_evidence = np.asarray(self.evidence, dtype=np.float32)
+
+        # Evidence fold: grid += E @ obs.  The Pallas variant wins in
+        # isolation but loses composed (see __init__ comment + ROUND_NOTES
+        # r03); default stays XLA.
+        use_pallas_fold = bool(self.use_pallas_fold)
+
+        if use_pallas_fold:
+            from ..ops.pallas.fold import evidence_fold_add
+
+            def _fold(grid, observations, gh, gw):
+                return evidence_fold_add(
+                    grid, observations.reshape(num_cls, gh, gw), self_evidence
+                )
+        else:
+            def _fold(grid, observations, gh, gw):
+                delta = jnp.matmul(
+                    self_evidence,
+                    observations.reshape(num_cls, gh * gw),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return grid + delta.reshape(num_cls, gh, gw)
         lane = self.lane_channel
         use_intensity = self.use_intensity and lane >= 0
         dedupe = self.duplicate_semantics == "reference"
@@ -409,12 +438,7 @@ class SemanticMappingEngine:
             observations = observations.at[obs_idx].add(
                 1.0, mode="drop", unique_indices=True
             )
-            delta = jnp.matmul(
-                self_evidence,
-                observations.reshape(num_cls, gh * gw),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            grid = grid + delta.reshape(num_cls, gh, gw)
+            grid = _fold(grid, observations, gh, gw)
 
             if use_intensity:
                 # segment-last element carries max(boost) == ANY(boost):
@@ -487,12 +511,7 @@ class SemanticMappingEngine:
             observations = observations.at[obs_idx].add(
                 obs_at_last, mode="drop", unique_indices=True
             )
-            delta = jnp.matmul(
-                self_evidence,  # (C_chan, C_obs) host constant
-                observations.reshape(num_cls, gh * gw),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            grid = grid + delta.reshape(num_cls, gh, gw)
+            grid = _fold(grid, observations, gh, gw)
 
             # --- LiDAR intensity lane boost (ref :427-437) -----------------
             # Retro-reflective returns (paint) have extreme intensities; +2
