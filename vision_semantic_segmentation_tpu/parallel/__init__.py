@@ -23,6 +23,11 @@ from .grid_shard import (
     make_sharded_step,
 )
 from .frame_parallel import make_frame_parallel_run, stack_frames
+from .spatial_infer import (
+    make_spatial_forward,
+    replicate_variables,
+    shard_image,
+)
 
 __all__ = [
     "create_mesh",
@@ -45,4 +50,7 @@ __all__ = [
     "make_sharded_step",
     "make_frame_parallel_run",
     "stack_frames",
+    "make_spatial_forward",
+    "replicate_variables",
+    "shard_image",
 ]
