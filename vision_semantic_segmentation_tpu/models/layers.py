@@ -39,6 +39,12 @@ def same_padding(kernel_size: IntPair, stride: IntPair, dilation: IntPair):
     return ((int(lo[0]), int(hi[0])), (int(lo[1]), int(hi[1])))
 
 
+# Trace-time default for routing eligible depthwise convs through the
+# Pallas kernel (ops/pallas/depthwise.py) when the module's own
+# ``use_pallas`` is left False.  Read when the module traces — flip it
+# before building/jitting, not between dispatches.
+PALLAS_DEPTHWISE = False
+
 # torchvision-compatible default initializer (kaiming normal, fan_out, relu)
 kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 # reference core/nn/init.py:4-29 equivalents (leaky_relu nonlinearity, a=0)
@@ -194,7 +200,9 @@ class ShiftedDepthwiseConv(nn.Module):
 
         dtype = self.dtype or x.dtype
 
-        if self.use_pallas and self._pallas_applicable(x, dtype):
+        if (self.use_pallas or PALLAS_DEPTHWISE) and self._pallas_applicable(
+            x, dtype
+        ):
             from ..ops.pallas.depthwise import depthwise3x3_dilated
 
             acc = depthwise3x3_dilated(

@@ -74,15 +74,44 @@ def _kernel(out_h, out_w, d, x_ref, w_ref, o_ref):
         o_ref[:, cw : cw + wc, :] = acc.astype(o_ref.dtype)
 
 
-def _vmem_bytes(h, w, d, itemsize):
+def _kernel_slab_f32(out_h, out_w, d, x_ref, w_ref, o_ref, xf_ref):
+    """Per-tap kernel with the bf16->f32 convert HOISTED to one VMEM pass.
+
+    Identical tap order and f32 values as ``_kernel`` (astype is exact per
+    element, so converting the slab up front changes no bit of the sum) —
+    but ~1.9 converts/element amortized instead of 9.  Measured 5.25-5.34
+    vs 5.65-5.96 ms/branch at (180,240,2048) bf16 d=12/24/36 under the
+    T=8 carry-scan harness (scripts/probe_depthwise_hoist.py); subtracting
+    the measured dispatch overhead that is ~15% less VPU work.
+    """
+    xf_ref[:] = x_ref[:].astype(jnp.float32)
+    for cw in range(0, out_w, _W_CHUNK):
+        wc = min(_W_CHUNK, out_w - cw)
+        acc = None
+        for ti in range(3):
+            row = xf_ref[ti * d : ti * d + out_h, :, :]
+            for tj in range(3):
+                sl = jax.lax.slice(
+                    row,
+                    (0, cw + tj * d, 0),
+                    (out_h, cw + tj * d + wc, _LANE_BLOCK),
+                )
+                term = sl * w_ref[ti * 3 + tj, :]
+                acc = term if acc is None else acc + term
+        o_ref[:, cw : cw + wc, :] = acc.astype(o_ref.dtype)
+
+
+def _vmem_bytes(h, w, d, itemsize, slab_f32=False):
     """Estimated peak VMEM: 2x pipelined in/out blocks + stack temporaries
     (one full-width row slab + a few f32 chunk accumulators), calibrated
-    against Mosaic's reported stack usage at (180, 240, 2048) bf16."""
+    against Mosaic's reported stack usage at (180, 240, 2048) bf16.
+    ``slab_f32`` adds the hoisted-convert f32 scratch plane."""
     w_out = -(-w // 8) * 8
     hp, wp = h + 2 * d, w_out + 2 * d
     blocks = 2 * hp * wp * itemsize + 2 * h * w_out * itemsize
     temps = 2 * h * wp * itemsize + 4 * h * _W_CHUNK * 4
-    return _LANE_BLOCK * (blocks + temps)
+    scratch = hp * wp * 4 if slab_f32 else 0
+    return _LANE_BLOCK * (blocks + temps + scratch)
 
 
 def supports(h, w, c, dilation, itemsize) -> bool:
@@ -91,6 +120,10 @@ def supports(h, w, c, dilation, itemsize) -> bool:
         c % _LANE_BLOCK == 0
         and _vmem_bytes(h, w, dilation, itemsize) <= _VMEM_LIMIT
     )
+
+
+def _supports_slab(h, w, d, itemsize) -> bool:
+    return _vmem_bytes(h, w, d, itemsize, slab_f32=True) <= _VMEM_LIMIT
 
 
 def _fused_kernel(out_h, out_w, dilations, pad, x_ref, w_ref, o_ref):
@@ -211,8 +244,20 @@ def depthwise3x3_dilated(
     xp = jnp.pad(x[0], ((d, d), (d, w_in - w - d), (0, 0)))
     w_flat = kernel.astype(jnp.float32).reshape(9, c)
 
+    # hoisted-convert variant when its f32 scratch plane fits VMEM;
+    # bit-identical to _kernel (same tap order, astype is exact)
+    slab = _supports_slab(h, w, d, x.dtype.itemsize)
+    kern = (
+        functools.partial(_kernel_slab_f32, h, w_out, d)
+        if slab
+        else functools.partial(_kernel, h, w_out, d)
+    )
+    scratch = (
+        [pltpu.VMEM((h + 2 * d, w_in, _LANE_BLOCK), jnp.float32)] if slab else []
+    )
+
     out = pl.pallas_call(
-        functools.partial(_kernel, h, w_out, d),
+        kern,
         grid=(c // _LANE_BLOCK,),
         in_specs=[
             pl.BlockSpec((h + 2 * d, w_in, _LANE_BLOCK), lambda j: (0, 0, j),
@@ -223,6 +268,7 @@ def depthwise3x3_dilated(
         out_specs=pl.BlockSpec((h, w_out, _LANE_BLOCK), lambda j: (0, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w_out, c), x.dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xp, w_flat)
