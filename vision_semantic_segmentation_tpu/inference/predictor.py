@@ -79,19 +79,56 @@ class SemanticSegmentation:
         self._forward_cache: "OrderedDict[Tuple[int, int, bool], callable]" = (
             OrderedDict()
         )
+        # int8 PTQ pack (models/quant.py); set by quantize(), passed to the
+        # jitted forwards as an ARGUMENT (closure-captured device arrays
+        # cost ~39 s/array at every lowering here, ROUND_NOTES r03)
+        self.qpack = None
+
+    # -- int8 serving mode ---------------------------------------------------
+    def quantize(self, calib_images) -> None:
+        """Switch to the int8-backbone serving path (models/quant.py).
+
+        Calibrates activation scales on ``calib_images`` (uint8 RGB frames
+        as fed to :meth:`segmentation`) and quantizes the backbone; all
+        subsequent forwards run the int8 path.  Measured 1.44-1.79x on the
+        backbone's heavy convs (scripts/probe_int8_conv.py); quality is
+        pinned by tests/test_quant.py + the golden E2E.
+        """
+        from ..models.quant import quantize_deeplab
+
+        frames = []
+        for img in calib_images:
+            x = np.asarray(img).astype(np.float32) / 255.0
+            x = (x - self._mean) / self._std
+            frames.append(x[None] if x.ndim == 3 else x)
+        self.qpack = quantize_deeplab(self.model, self.variables, frames)
+        self._forward_cache.clear()
+
+    def _model_logits(self, variables, qpack, x, upsample_pred: bool):
+        """Float or int8-backbone forward; quantization is decided at
+        trace time by whether a qpack is present."""
+        if qpack is None:
+            return self.model.apply(
+                variables, x, train=False, upsample_pred=upsample_pred
+            )
+        from ..models.quant import quant_deeplab_apply
+
+        return quant_deeplab_apply(
+            self.model, variables, qpack, x, upsample_pred=upsample_pred
+        )
 
     # -- compiled paths ------------------------------------------------------
     def _forward(self, upsample_pred: bool):
-        key = upsample_pred
+        quantized = self.qpack is not None
 
         @jax.jit
-        def fwd(variables, image_u8):
+        def fwd(variables, qpack, image_u8):
             x = image_u8.astype(jnp.float32) / 255.0
             x = (x - self._mean) / self._std
             if x.ndim == 3:
                 x = x[None]
-            logits = self.model.apply(
-                variables, x, train=False, upsample_pred=upsample_pred
+            logits = self._model_logits(
+                variables, qpack if quantized else None, x, upsample_pred
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -111,7 +148,9 @@ class SemanticSegmentation:
             self._forward_cache[key] = self._forward(upsample_pred)
         else:
             self._forward_cache.move_to_end(key)
-        preds = self._forward_cache[key](self.variables, jnp.asarray(image))
+        preds = self._forward_cache[key](
+            self.variables, self.qpack, jnp.asarray(image)
+        )
         return np.asarray(preds[0] if preds.shape[0] == 1 else preds)
 
     def segmentation_with_confidence(
@@ -129,24 +168,27 @@ class SemanticSegmentation:
         if key not in self._forward_cache:
             while len(self._forward_cache) >= self._max_shapes:
                 self._forward_cache.popitem(last=False)
+            quantized = self.qpack is not None
 
             @jax.jit
-            def fwd(variables, image_u8):
+            def fwd(variables, qpack, image_u8):
                 x = image_u8.astype(jnp.float32) / 255.0
                 x = (x - self._mean) / self._std
                 if x.ndim == 3:
                     x = x[None]
-                logits = self.model.apply(
-                    variables, x, train=False, upsample_pred=upsample_pred
+                logits = self._model_logits(
+                    variables, qpack if quantized else None, x, upsample_pred
                 )
                 labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+                conf = jnp.max(jax.nn.softmax(logits.astype(jnp.float32), axis=-1), axis=-1)
                 return labels, conf
 
             self._forward_cache[key] = fwd
         else:
             self._forward_cache.move_to_end(key)
-        labels, conf = self._forward_cache[key](self.variables, jnp.asarray(image))
+        labels, conf = self._forward_cache[key](
+            self.variables, self.qpack, jnp.asarray(image)
+        )
         squeeze = labels.shape[0] == 1
         labels = np.asarray(labels[0] if squeeze else labels)
         conf = np.asarray(conf[0] if squeeze else conf)
