@@ -26,7 +26,7 @@ from vision_semantic_segmentation_tpu.models import build_backbone, deeplab_from
 from vision_semantic_segmentation_tpu.models.aspp import ASPP
 
 H, W = 1440, 1920
-T = 4
+T = 16
 
 
 def scan_time(name, apply_fn, variables, *inputs, n=2):
@@ -49,7 +49,9 @@ def scan_time(name, apply_fn, variables, *inputs, n=2):
     for _ in range(n):
         acc = run(variables, *inputs)
     _ = float(acc)
-    print(f"{name:45s} {(time.perf_counter() - t0) / n / T * 1e3:8.1f} ms/frame", flush=True)
+    ms = (time.perf_counter() - t0) / n / T * 1e3
+    print(f"{name:45s} {ms:8.2f} ms/frame", flush=True)
+    return ms
 
 
 def main():
@@ -58,22 +60,32 @@ def main():
     net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
     x = jnp.asarray(rng.standard_normal((T, H, W, 3)).astype(np.float32))
 
+    # NULL program: the tunnel dispatch round-trip / T, subtracted from
+    # every stage row (a T=4 version of this script once inflated every
+    # stage by ~7 ms/frame — the probe_bn_fusion.py postmortem)
+    ovh = scan_time("NULL (dispatch overhead / T)",
+                    lambda v, xi: xi[:, :1, :1, :] + 1.0, {}, x)
+
     bb = build_backbone(net_cfg.MODEL.BACKBONE, net_cfg.MODEL.OUTPUT_STRIDE, dtype=jnp.bfloat16)
     vb = bb.init(jax.random.PRNGKey(0), x[:1, :64, :64], train=False)
-    scan_time("backbone", lambda v, xi: bb.apply(v, xi, train=False)["feature"], vb, x)
+    tb = scan_time("backbone", lambda v, xi: bb.apply(v, xi, train=False)["feature"], vb, x)
 
     fh, fw = H // 8, W // 8
-    feat = jnp.asarray(rng.standard_normal((T, fh, fw, 2048)).astype(np.float32))
+    feat = jnp.asarray(
+        rng.standard_normal((T, fh, fw, 2048)).astype(np.float32)
+    ).astype(jnp.bfloat16)
     aspp = ASPP(out_channels=256, atrous_dilation=(1, 12, 24, 36), dtype=jnp.bfloat16)
     va = aspp.init(jax.random.PRNGKey(0), feat[:1], train=False)
-    scan_time("aspp", lambda v, xi: aspp.apply(v, xi, train=False), va, feat)
+    ta = scan_time("aspp", lambda v, xi: aspp.apply(v, xi, train=False), va, feat)
 
     model = deeplab_from_cfg(net_cfg, dtype=jnp.bfloat16)
     vm = model.init(jax.random.PRNGKey(0), x[:1, :64, :64], train=False)
-    scan_time(
+    tf = scan_time(
         "deeplab full fwd (no upsample)",
         lambda v, xi: model.apply(v, xi, train=False, upsample_pred=False), vm, x,
     )
+    print(f"{'':45s} compute (ovh-corrected): backbone "
+          f"{tb - ovh:.2f}, aspp {ta - ovh:.2f}, full fwd {tf - ovh:.2f} ms")
 
     # engine step over the default 2000^2 grid
     engine = SemanticMappingEngine(cfg, evidence=np.eye(5))

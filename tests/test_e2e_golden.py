@@ -414,6 +414,35 @@ class TestGoldenPipeline:
         assert result["iou"]["lane"] >= 0.50, result
         assert result["missing_rate"] <= 0.05, result
 
+    def test_quantized_predictor_on_trained_net(self, golden_bag):
+        """Int8 PTQ quality on a TRAINED net (models/quant.py): the
+        quantized predictor's label maps must agree with the float path
+        on nearly every pixel of the golden scene — the quality evidence
+        behind the opt-in serving mode (random-net agreement is pinned in
+        tests/test_quant.py; trained nets agree more)."""
+        from vision_semantic_segmentation_tpu.inference.predictor import (
+            SemanticSegmentation,
+        )
+        from vision_semantic_segmentation_tpu.ops.resize import resize_area
+
+        cfg = golden_bag["cfg"]
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        seg = SemanticSegmentation(net_cfg, compute_dtype="float32")
+
+        frames = [
+            np.asarray(
+                resize_area(jnp.asarray(f.semantic_image), (144, 192))
+            ).astype(np.uint8)
+            for f in golden_bag["frames"][::10]
+        ]  # 5 viewpoints
+        refs = [seg.segmentation(f, upsample_pred=True) for f in frames]
+        seg.quantize(frames[:3])
+        agree = np.mean([
+            (seg.segmentation(f, upsample_pred=True) == r).mean()
+            for f, r in zip(frames, refs)
+        ])
+        assert agree >= 0.97, agree
+
     def test_cli_pipeline_from_rosbag(self, golden_bag):
         """The same pipeline driven from a ROS .bag recording: container
         serialization -> bag adapter -> nodes -> map (subset of frames,
