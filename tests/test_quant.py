@@ -200,6 +200,91 @@ class TestPredictorQuantized:
         assert conf.dtype == np.float32
 
 
+class TestQpackSerialization:
+    def test_save_load_roundtrip(self, tmp_path, backbone_setup):
+        from vision_semantic_segmentation_tpu.models.quant import (
+            load_qpack,
+            save_qpack,
+        )
+
+        module, variables, x = backbone_setup
+        calib = calibrate_backbone(module, variables, [x])
+        qpack = quantize_backbone(module, variables, calib)
+        path = str(tmp_path / "q.npz")
+        save_qpack(qpack, path)
+        loaded = load_qpack(path)
+        assert set(loaded) == set(qpack)
+        ref = quant_backbone_apply(module, variables, qpack, x,
+                                   dtype=jnp.float32)
+        got = quant_backbone_apply(module, variables, loaded, x,
+                                   dtype=jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(got["feature"]), np.asarray(ref["feature"])
+        )
+
+    def test_quantize_cli_and_qpack_config(self, tmp_path):
+        """`quantize` CLI writes a qpack; MODEL.QPACK serves it."""
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+        from vision_semantic_segmentation_tpu.inference.predictor import (
+            SemanticSegmentation,
+        )
+        from vision_semantic_segmentation_tpu.models.convert import save_npz
+        from vision_semantic_segmentation_tpu.runtime.io import (
+            FrameRecord,
+            save_frames,
+        )
+
+        rng = np.random.default_rng(41)
+        cfg = get_cfg_defaults()
+        net = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net.MODEL.BACKBONE = "resnet18"
+        net.MODEL.OUTPUT_STRIDE = 16
+        net.MODEL.COMPUTE_DTYPE = "float32"
+        net.DATASET.NUM_CLASSES = 5
+        net.MODEL.ASPP.OUT_CHANNELS = 16
+        net.MODEL.ASPP.ATROUS_CHANNELS = [16, 16, 16, 16]
+        net.MODEL.DECODER.LOW_LEVEL_OUT_CHANNELS = 8
+        net.MODEL.DECODER.REFINE_CHANNELS = [16, 16]
+        cfg.VISION_SEM_SEG.IMAGE_SCALE = 1.0
+
+        model = deeplab_from_cfg(net)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            train=False,
+        )
+        weight_path = str(tmp_path / "w.npz")
+        save_npz(variables, weight_path)
+        net.MODEL.WEIGHT = weight_path
+
+        frames = [
+            FrameRecord(
+                pcd=np.zeros((4, 1), np.float32), pcd_frame_id="world",
+                semantic_image=rng.integers(0, 256, (64, 64, 3),
+                                            dtype=np.uint8),
+                position=np.zeros(3, np.float32),
+                quaternion=np.array([0, 0, 0, 1], np.float32),
+                camera="camera1", stamp=float(i),
+            )
+            for i in range(3)
+        ]
+        bag_path = str(tmp_path / "calib.npz")
+        save_frames(frames, bag_path)
+
+        cfg_path = str(tmp_path / "cfg.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.dump())
+        qpack_path = str(tmp_path / "qpack.npz")
+        main(["quantize", "--cfg", cfg_path, "--calib", bag_path,
+              "--frames", "2", "--out", qpack_path])
+
+        net.MODEL.QPACK = qpack_path
+        seg = SemanticSegmentation(net)
+        assert seg.qpack is not None
+        out = seg.segmentation(frames[0].semantic_image)
+        assert out.dtype == np.int32
+
+
 class TestQuantEpilogueMath:
     def test_single_conv_vs_numpy(self):
         """One quantized 1x1 conv+BN+ReLU emitting int8, vs explicit numpy."""

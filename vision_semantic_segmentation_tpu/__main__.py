@@ -253,6 +253,55 @@ def cmd_compile(args):
     print(f"wrote {out}")
 
 
+def cmd_quantize(args):
+    """Calibrate and export an int8 PTQ pack for the serving path.
+
+    Reads calibration frames from a recorded sequence (.npz or ROS
+    .bag), applies the node's preprocessing (IMAGE_SCALE area resize,
+    matching what the predictor will see at serving time), calibrates
+    activation scales, quantizes the backbone, and writes the qpack
+    (models/quant.py).  Serve it by setting
+    ``VISION_SEM_SEG.SEM_SEG_NETWORK.MODEL.QPACK`` to the output path.
+    """
+    import numpy as np
+
+    from .inference.predictor import SemanticSegmentation
+    from .models.quant import save_qpack
+    from .ops.resize import resize_area
+
+    import jax.numpy as jnp
+
+    cfg = _load_app_cfg(args.cfg)
+    src = args.calib
+    if src.endswith(".bag"):
+        from .runtime.bag_adapter import bag_to_frames
+
+        frames = bag_to_frames(src)
+    else:
+        from .runtime.io import load_frames
+
+        frames = load_frames(src)
+    step = max(1, len(frames) // max(1, args.frames))
+    images = [f.semantic_image for f in frames[::step][: args.frames]]
+
+    scale = float(cfg.VISION_SEM_SEG.IMAGE_SCALE)
+    if scale < 1.0:
+        images = [
+            np.asarray(
+                resize_area(
+                    jnp.asarray(img),
+                    (int(img.shape[0] * scale), int(img.shape[1] * scale)),
+                )
+            ).astype(np.uint8)
+            for img in images
+        ]
+
+    predictor = SemanticSegmentation(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK)
+    predictor.quantize(images)
+    save_qpack(predictor.qpack, args.out)
+    print(f"wrote {args.out} ({len(images)} calibration frames)")
+
+
 def cmd_video(args):
     from .config import get_demo_cfg_defaults, resolve_output_dir
 
@@ -333,6 +382,17 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--window", type=int, default=16)
     p.set_defaults(fn=cmd_compile)
+
+    p = sub.add_parser(
+        "quantize", help="calibrate + export an int8 PTQ pack (serving)"
+    )
+    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--calib", required=True,
+                   help="recorded sequence (.npz or .bag) to calibrate on")
+    p.add_argument("--frames", type=int, default=8,
+                   help="number of calibration frames sampled from it")
+    p.add_argument("--out", default="qpack.npz")
+    p.set_defaults(fn=cmd_quantize)
 
     p = sub.add_parser("video", help="segmentation overlay video demo")
     p.add_argument("--cfg", default="", metavar="FILE")

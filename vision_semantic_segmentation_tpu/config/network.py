@@ -162,4 +162,7 @@ def get_demo_cfg_defaults() -> CN:
     # TPU-specific inference knobs (no reference equivalent): compute dtype
     # for the conv path and static input bucketing to avoid recompiles.
     _C.MODEL.COMPUTE_DTYPE = "bfloat16"
+    # optional int8 PTQ pack produced by the `quantize` CLI command
+    # (models/quant.py); when set, the predictor serves the int8 path
+    _C.MODEL.QPACK = ""
     return _C

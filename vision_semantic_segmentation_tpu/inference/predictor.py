@@ -79,10 +79,15 @@ class SemanticSegmentation:
         self._forward_cache: "OrderedDict[Tuple[int, int, bool], callable]" = (
             OrderedDict()
         )
-        # int8 PTQ pack (models/quant.py); set by quantize(), passed to the
-        # jitted forwards as an ARGUMENT (closure-captured device arrays
-        # cost ~39 s/array at every lowering here, ROUND_NOTES r03)
+        # int8 PTQ pack (models/quant.py); set by quantize() or loaded from
+        # cfg.MODEL.QPACK; passed to the jitted forwards as an ARGUMENT
+        # (closure-captured device arrays cost ~39 s/array at every
+        # lowering here, ROUND_NOTES r03)
         self.qpack = None
+        if "QPACK" in cfg.MODEL and cfg.MODEL.QPACK:
+            from ..models.quant import load_qpack
+
+            self.qpack = load_qpack(cfg.MODEL.QPACK)
 
     # -- int8 serving mode ---------------------------------------------------
     def quantize(self, calib_images) -> None:

@@ -474,6 +474,25 @@ def quantize_deeplab(model, variables, frames) -> Dict[str, Any]:
     return quantize_backbone(bb, bvars, absmax)
 
 
+def save_qpack(qpack: Dict[str, Any], path: str) -> None:
+    """Serialize a qpack to .npz (keys flattened as ``site|field``)."""
+    flat = {}
+    for site, entry in qpack.items():
+        for field, v in entry.items():
+            flat[f"{site}|{field}"] = np.asarray(jax.device_get(v))
+    np.savez_compressed(path, **flat)
+
+
+def load_qpack(path: str) -> Dict[str, Any]:
+    """Load a qpack written by :func:`save_qpack`."""
+    qpack: Dict[str, Any] = {}
+    with np.load(path) as z:
+        for key in z.files:
+            site, field = key.rsplit("|", 1)
+            qpack.setdefault(site, {})[field] = jnp.asarray(z[key])
+    return qpack
+
+
 def quant_deeplab_apply(model, variables, qpack, x: Array,
                         upsample_pred: bool = False) -> Array:
     """Full DeepLabV3+ forward with the int8 backbone: logits like
