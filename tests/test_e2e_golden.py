@@ -443,6 +443,53 @@ class TestGoldenPipeline:
         ])
         assert agree >= 0.97, agree
 
+    def test_spatial_sharded_forward_on_trained_net(self, golden_bag):
+        """The mp (spatially-sharded) serving forward on the TRAINED net:
+        row-banded GSPMD inference over the 8-device mesh must produce
+        the same labels as the single-device forward on golden frames
+        (parallel/spatial_infer.py — conv halo exchanges re-associate no
+        window sum, argmax must match exactly)."""
+        import jax
+
+        from vision_semantic_segmentation_tpu.models import deeplab_from_cfg
+        from vision_semantic_segmentation_tpu.models.convert import load_npz
+        from vision_semantic_segmentation_tpu.inference.predictor import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+        from vision_semantic_segmentation_tpu.ops.resize import resize_area
+        from vision_semantic_segmentation_tpu.parallel import (
+            create_mesh,
+            make_spatial_forward,
+            replicate_variables,
+            shard_image,
+        )
+
+        cfg = golden_bag["cfg"]
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        model = deeplab_from_cfg(net_cfg, dtype=jnp.float32)
+        variables = load_npz(net_cfg.MODEL.WEIGHT)
+
+        img = np.asarray(
+            resize_area(
+                jnp.asarray(golden_bag["frames"][0].semantic_image), (144, 192)
+            )
+        ).astype(np.float32)
+        x = ((img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD)[None]
+
+        ref = np.argmax(
+            np.asarray(
+                model.apply(variables, x, train=False, upsample_pred=True)
+            ),
+            -1,
+        )
+        mesh = create_mesh(axis_names=("grid",), devices=jax.devices())
+        fwd = make_spatial_forward(
+            model, mesh, axis="grid", upsample_pred=True, argmax=True
+        )
+        out = fwd(replicate_variables(mesh, variables), shard_image(mesh, x))
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
     def test_cli_pipeline_from_rosbag(self, golden_bag):
         """The same pipeline driven from a ROS .bag recording: container
         serialization -> bag adapter -> nodes -> map (subset of frames,
