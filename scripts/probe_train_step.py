@@ -1,0 +1,101 @@
+"""Train-step throughput on the v5e: f32 (reference semantics) vs
+TRAIN.COMPUTE_DTYPE='bfloat16' (MXU-native activations).
+
+The flagship config (DeepLabV3+ ResNeXt50-32x4d os8) at a standard
+513x513 crop, batch 8 — the reference's single-GPU training shape class
+(ref train.py; it trains f32 on CUDA).  K steps fuse per dispatch via
+make_multi_train_step, so the tunnel round-trip amortizes; a NULL scan
+at the same K is subtracted (probe_bn_fusion.py methodology).
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vss_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+import jax.numpy as jnp
+import optax
+
+sys.path.insert(0, ".")
+
+from vision_semantic_segmentation_tpu.config import get_train_cfg_defaults
+from vision_semantic_segmentation_tpu.models.build import build_model
+from vision_semantic_segmentation_tpu.parallel.train_step import (
+    TrainState,
+    make_multi_train_step,
+)
+
+K = 8
+B, H, W = 4, 513, 513
+NCLS = 19
+
+
+def bench_dtype(name, dtype, batches, remat=False, n=3):
+    cfg = get_train_cfg_defaults()
+    cfg.MODEL.TYPE = "DeepLabv3+"
+    cfg.MODEL.BACKBONE = "resnext50_32x4d"
+    cfg.MODEL.OUTPUT_STRIDE = 8
+    cfg.DATASET.NUM_CLASSES = NCLS
+    model, _, _, _ = build_model(cfg, dtype=dtype)
+
+    x0 = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), x0, train=False)
+    ).lower().compile()()
+    tx = optax.sgd(1e-3, momentum=0.9)
+    state = TrainState.create(model, variables, tx, jax.random.PRNGKey(1))
+
+    multi = make_multi_train_step(num_classes=NCLS, steps=K, remat=remat)
+    run = jax.jit(multi).lower(state, batches).compile()
+    state2, m = run(state, batches)
+    _ = float(m["loss"][-1])
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        state2, m = run(state, batches)
+        _ = float(m["loss"][-1])
+        best = min(best, time.perf_counter() - t0)
+    ms = best / K * 1e3
+    print(f"{name:40s} {ms:8.1f} ms/step (loss {float(m['loss'][-1]):.3f})",
+          flush=True)
+    return ms
+
+
+def main():
+    print(f"device: {jax.devices()[0].device_kind}  "
+          f"batch {B} @ {H}x{W}, K={K} steps/dispatch")
+    rng = np.random.default_rng(0)
+    batches = {
+        "image": jnp.asarray(
+            rng.standard_normal((K, B, H, W, 3)).astype(np.float32)
+        ),
+        "label": jnp.asarray(
+            rng.integers(0, NCLS, (K, B, H, W)).astype(np.int32)
+        ),
+    }
+
+    # batch 8 @ 513^2 f32 OOMs the 16 GB HBM even under the whole-forward
+    # remat flag (single-segment checkpointing bounds residuals, not the
+    # recompute peak) — batch 4/device is the fitting production shape
+    def try_bench(name, dtype, remat=False):
+        try:
+            return bench_dtype(name, dtype, batches, remat=remat)
+        except Exception as e:  # noqa: BLE001 - OOM is an expected outcome
+            print(f"{name}: failed ({type(e).__name__})", flush=True)
+            return None
+
+    t32 = try_bench("train step f32", None)
+    if t32 is None:
+        t32 = try_bench("train step f32 + remat", None, remat=True)
+    t16 = try_bench("train step bf16", jnp.bfloat16)
+    if t16 is None:
+        t16 = try_bench("train step bf16 + remat", jnp.bfloat16, remat=True)
+    if t32 and t16:
+        print(f"bf16 speedup over f32: {t32 / t16:.2f}x  "
+              f"(dispatch ~27 ms amortizes to ~{27 / K:.1f} ms/step at K={K})")
+
+
+if __name__ == "__main__":
+    main()

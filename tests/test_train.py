@@ -290,6 +290,65 @@ class TestTrainerEndToEnd:
         assert trainer.train_metric.global_avg > 0.5
 
 
+class TestBf16Training:
+    def test_bf16_trainer_learns_and_tracks_f32(self, tmp_path):
+        """TRAIN.COMPUTE_DTYPE='bfloat16': params/opt/loss stay f32 while
+        conv activations run bf16 — the loss must decrease like the f32
+        trainer's on the same toy problem (a real DeepLab so the dtype
+        actually threads through backbone/ASPP/decoder)."""
+        rng = np.random.default_rng(7)
+        labels = rng.integers(0, 3, (8, 32, 32)).astype(np.int32)
+        images = np.eye(3, dtype=np.float32)[labels] * 3.0
+        images += rng.standard_normal(images.shape).astype(np.float32) * 0.1
+
+        class Loader:
+            def set_epoch(self, e):
+                pass
+
+            def __len__(self):
+                return 1
+
+            def __iter__(self):
+                yield {"image": images, "label": labels}
+
+        finals = {}
+        for dtype in ("float32", "bfloat16"):
+            cfg = get_train_cfg_defaults()
+            cfg.MODEL.TYPE = "DeepLabv3+"
+            cfg.MODEL.BACKBONE = "resnet18"
+            cfg.MODEL.OUTPUT_STRIDE = 16
+            cfg.MODEL.ASPP.OUT_CHANNELS = 8
+            cfg.MODEL.ASPP.ATROUS_CHANNELS = [8, 8, 8, 8]
+            cfg.MODEL.DECODER.LOW_LEVEL_OUT_CHANNELS = 4
+            cfg.MODEL.DECODER.REFINE_CHANNELS = [8, 8]
+            cfg.DATASET.NUM_CLASSES = 3
+            cfg.DATASET.IN_CHANNELS = 3
+            cfg.OPTIMIZER.TYPE = "SGD"
+            cfg.OPTIMIZER.BASE_LR = 0.05
+            cfg.OPTIMIZER.SGD.momentum = 0.9
+            cfg.SCHEDULER.TYPE = "PolyLRDecay"
+            cfg.SCHEDULER.PolyLRDecay.max_iter = 100
+            cfg.SCHEDULER.MAX_EPOCH = 4
+            cfg.TRAIN.BATCH_SIZE = 8
+            cfg.TRAIN.COMPUTE_DTYPE = dtype
+
+            trainer = Trainer(cfg, output_dir=str(tmp_path / dtype))
+            # params must be f32 either way (flax dtype semantics)
+            leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+            assert leaf.dtype == jnp.float32, dtype
+
+            first = trainer.train_one_epoch(Loader(), 0)
+            loss0 = first.meters["loss"].global_avg
+            for epoch in range(1, 5):
+                meters = trainer.train_one_epoch(Loader(), epoch)
+            final = meters.meters["loss"].global_avg
+            assert np.isfinite(final) and final < loss0, (dtype, loss0, final)
+            finals[dtype] = final
+
+        # both trainers learn the toy task to a similar level
+        assert finals["bfloat16"] < 2.0 * finals["float32"] + 0.2, finals
+
+
 class TestDistributedInit:
     """Structural coverage of the multi-host path (VERDICT r02 weak #8):
     no real second host exists here, so stub jax.distributed/process_count

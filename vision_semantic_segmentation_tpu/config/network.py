@@ -85,6 +85,11 @@ def _train_base() -> CN:
     # dispatch via lax.scan. Dispatch overhead is per call and scales with
     # the parameter-tree size; >1 amortizes it (essential on tunneled TPUs).
     _C.TRAIN.STEPS_PER_DISPATCH = 1
+    # TPU-specific (no reference equivalent): conv-path compute dtype for
+    # training.  "bfloat16" keeps parameters/optimizer/loss/grads in f32
+    # (flax dtype semantics) while activations run on the MXU's native
+    # bf16 path; the reference trains f32 on CUDA.
+    _C.TRAIN.COMPUTE_DTYPE = "float32"
     _C.TRAIN.AUGMENTATION = ()
     _C.TRAIN.FROZEN_PATTERNS = ()
     _C.TRAIN.FREEZE_BATCHNORM = False

@@ -98,8 +98,14 @@ class Trainer:
         if rng is None:  # RNG_SEED < 0 = unseeded (ref torch_util.py:7-16)
             rng = jax.random.PRNGKey(0)
 
-        # model + loss + metrics (ref train.py:171)
-        self.model, self.loss_fn, self.train_metric, self.val_metric = build_model(cfg)
+        # model + loss + metrics (ref train.py:171).  TRAIN.COMPUTE_DTYPE
+        # "bfloat16" runs conv activations on the MXU's native bf16 path;
+        # params/optimizer/loss/grads stay f32 (flax dtype semantics).
+        compute_dtype = str(getattr(cfg.TRAIN, "COMPUTE_DTYPE", "float32"))
+        dtype = jax.numpy.bfloat16 if compute_dtype == "bfloat16" else None
+        self.model, self.loss_fn, self.train_metric, self.val_metric = build_model(
+            cfg, dtype=dtype
+        )
         init_rng, state_rng = jax.random.split(rng)
         sample = jax.numpy.zeros((1, 65, 65, cfg.DATASET.IN_CHANNELS), jax.numpy.float32)
         variables = self.model.init(init_rng, sample, train=False)
