@@ -1,11 +1,13 @@
 """Train-step throughput on the v5e: f32 (reference semantics) vs
-TRAIN.COMPUTE_DTYPE='bfloat16' (MXU-native activations).
+TRAIN.COMPUTE_DTYPE='bfloat16' (MXU-native activations), and the
+batch-8 capability unlocked by TRAIN.REMAT_BACKBONE (per-block
+nn.remat).
 
 The flagship config (DeepLabV3+ ResNeXt50-32x4d os8) at a standard
-513x513 crop, batch 8 — the reference's single-GPU training shape class
+513x513 crop — the reference's single-GPU training shape class
 (ref train.py; it trains f32 on CUDA).  K steps fuse per dispatch via
-make_multi_train_step, so the tunnel round-trip amortizes; a NULL scan
-at the same K is subtracted (probe_bn_fusion.py methodology).
+make_multi_train_step, so the tunnel round-trip amortizes; throughput
+is reported per optimizer step so batch sizes compare via img/s.
 """
 import sys
 import time
@@ -28,16 +30,29 @@ from vision_semantic_segmentation_tpu.parallel.train_step import (
 )
 
 K = 8
-B, H, W = 4, 513, 513
+H, W = 513, 513
 NCLS = 19
 
 
-def bench_dtype(name, dtype, batches, remat=False, n=3):
+def make_batches(batch):
+    rng = np.random.default_rng(0)
+    return {
+        "image": jnp.asarray(
+            rng.standard_normal((K, batch, H, W, 3)).astype(np.float32)
+        ),
+        "label": jnp.asarray(
+            rng.integers(0, NCLS, (K, batch, H, W)).astype(np.int32)
+        ),
+    }
+
+
+def bench_dtype(name, dtype, batches, remat=False, remat_backbone=False, n=3):
     cfg = get_train_cfg_defaults()
     cfg.MODEL.TYPE = "DeepLabv3+"
     cfg.MODEL.BACKBONE = "resnext50_32x4d"
     cfg.MODEL.OUTPUT_STRIDE = 8
     cfg.DATASET.NUM_CLASSES = NCLS
+    cfg.TRAIN.REMAT_BACKBONE = remat_backbone
     model, _, _, _ = build_model(cfg, dtype=dtype)
 
     x0 = jnp.zeros((1, H, W, 3), jnp.float32)
@@ -58,43 +73,47 @@ def bench_dtype(name, dtype, batches, remat=False, n=3):
         _ = float(m["loss"][-1])
         best = min(best, time.perf_counter() - t0)
     ms = best / K * 1e3
-    print(f"{name:40s} {ms:8.1f} ms/step (loss {float(m['loss'][-1]):.3f})",
-          flush=True)
+    batch = batches["image"].shape[1]
+    print(
+        f"{name:44s} {ms:8.1f} ms/step = {batch / ms * 1e3:6.1f} img/s "
+        f"(loss {float(m['loss'][-1]):.3f})",
+        flush=True,
+    )
     return ms
+
+
+def try_bench(name, dtype, batches, remat=False, remat_backbone=False):
+    try:
+        return bench_dtype(
+            name, dtype, batches, remat=remat, remat_backbone=remat_backbone
+        )
+    except Exception as e:  # noqa: BLE001 - OOM is an expected outcome
+        print(f"{name}: failed ({type(e).__name__})", flush=True)
+        return None
 
 
 def main():
     print(f"device: {jax.devices()[0].device_kind}  "
-          f"batch {B} @ {H}x{W}, K={K} steps/dispatch")
-    rng = np.random.default_rng(0)
-    batches = {
-        "image": jnp.asarray(
-            rng.standard_normal((K, B, H, W, 3)).astype(np.float32)
-        ),
-        "label": jnp.asarray(
-            rng.integers(0, NCLS, (K, B, H, W)).astype(np.int32)
-        ),
-    }
+          f"@ {H}x{W}, K={K} steps/dispatch")
 
     # batch 8 @ 513^2 f32 OOMs the 16 GB HBM even under the whole-forward
     # remat flag (single-segment checkpointing bounds residuals, not the
-    # recompute peak) — batch 4/device is the fitting production shape
-    def try_bench(name, dtype, remat=False):
-        try:
-            return bench_dtype(name, dtype, batches, remat=remat)
-        except Exception as e:  # noqa: BLE001 - OOM is an expected outcome
-            print(f"{name}: failed ({type(e).__name__})", flush=True)
-            return None
-
-    t32 = try_bench("train step f32", None)
-    if t32 is None:
-        t32 = try_bench("train step f32 + remat", None, remat=True)
-    t16 = try_bench("train step bf16", jnp.bfloat16)
-    if t16 is None:
-        t16 = try_bench("train step bf16 + remat", jnp.bfloat16, remat=True)
+    # recompute peak) — batch 4/device is the fitting shape WITHOUT
+    # per-block remat.
+    b4 = make_batches(4)
+    t32 = try_bench("b4 train step f32", None, b4)
+    t16 = try_bench("b4 train step bf16", jnp.bfloat16, b4)
     if t32 and t16:
         print(f"bf16 speedup over f32: {t32 / t16:.2f}x  "
               f"(dispatch ~27 ms amortizes to ~{27 / K:.1f} ms/step at K={K})")
+
+    # TRAIN.REMAT_BACKBONE: per-block residual checkpointing bounds the
+    # peak to block boundaries — batch 8 becomes feasible.
+    b8 = make_batches(8)
+    del b4
+    try_bench("b8 f32 (expected OOM)", None, b8)
+    try_bench("b8 f32 + REMAT_BACKBONE", None, b8, remat_backbone=True)
+    try_bench("b8 bf16 + REMAT_BACKBONE", jnp.bfloat16, b8, remat_backbone=True)
 
 
 if __name__ == "__main__":

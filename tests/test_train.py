@@ -290,6 +290,60 @@ class TestTrainerEndToEnd:
         assert trainer.train_metric.global_avg > 0.5
 
 
+class TestRematBackbone:
+    def test_block_remat_bit_identical_step(self):
+        """TRAIN.REMAT_BACKBONE=True: per-block nn.remat must leave the
+        param tree and the forward loss BIT-identical; post-step params
+        agree to f32 reassociation noise (XLA schedules the recomputed
+        backward differently, perturbing grads in the last ulps)."""
+        from vision_semantic_segmentation_tpu.models.build import build_model
+        from vision_semantic_segmentation_tpu.parallel.train_step import (
+            make_train_step,
+        )
+
+        rng = np.random.default_rng(3)
+        batch = {
+            "image": jnp.asarray(
+                rng.standard_normal((2, 33, 33, 3)).astype(np.float32)
+            ),
+            "label": jnp.asarray(rng.integers(0, 4, (2, 33, 33)).astype(np.int32)),
+        }
+
+        results = {}
+        for remat in (False, True):
+            cfg = get_train_cfg_defaults()
+            cfg.MODEL.TYPE = "DeepLabv3+"
+            cfg.MODEL.BACKBONE = "resnet18"
+            cfg.MODEL.OUTPUT_STRIDE = 16
+            cfg.MODEL.ASPP.OUT_CHANNELS = 8
+            cfg.MODEL.ASPP.ATROUS_CHANNELS = [8, 8, 8, 8]
+            cfg.MODEL.DECODER.LOW_LEVEL_OUT_CHANNELS = 4
+            cfg.MODEL.DECODER.REFINE_CHANNELS = [8, 8]
+            cfg.DATASET.NUM_CLASSES = 4
+            cfg.TRAIN.REMAT_BACKBONE = remat
+            model, _, _, _ = build_model(cfg)
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 33, 33, 3)), train=False
+            )
+            tx = optax.sgd(0.05, momentum=0.9)
+            state = TrainState.create(model, variables, tx, jax.random.PRNGKey(1))
+            step = jax.jit(make_train_step(num_classes=4))
+            state, metrics = step(state, batch)
+            results[remat] = (
+                float(metrics["loss"]),
+                jax.tree_util.tree_map(np.asarray, state.params),
+            )
+
+        loss_a, params_a = results[False]
+        loss_b, params_b = results[True]
+        assert loss_a == loss_b
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+            params_a,
+            params_b,
+        )
+
+
 class TestBf16Training:
     def test_bf16_trainer_learns_and_tracks_f32(self, tmp_path):
         """TRAIN.COMPUTE_DTYPE='bfloat16': params/opt/loss stay f32 while

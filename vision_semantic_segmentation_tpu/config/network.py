@@ -90,6 +90,13 @@ def _train_base() -> CN:
     # (flax dtype semantics) while activations run on the MXU's native
     # bf16 path; the reference trains f32 on CUDA.
     _C.TRAIN.COMPUTE_DTYPE = "float32"
+    # TPU-specific: rematerialize each backbone residual block under the
+    # backward pass (nn.remat).  Loss is bit-identical and grads agree to
+    # f32 reassociation noise; residuals are kept only at block
+    # boundaries, cutting peak activation memory so larger batches/crops
+    # fit HBM (e.g. batch 8 @ 513^2 f32 OOMs a 16 GB v5e without it).
+    # Costs ~1 extra forward of FLOPs.
+    _C.TRAIN.REMAT_BACKBONE = False
     _C.TRAIN.AUGMENTATION = ()
     _C.TRAIN.FROZEN_PATTERNS = ()
     _C.TRAIN.FREEZE_BATCHNORM = False

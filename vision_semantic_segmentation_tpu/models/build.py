@@ -21,7 +21,10 @@ from .xception import Xception65
 
 
 def build_deeplabv3_plus(cfg, dtype=None):
-    net = deeplab_from_cfg(cfg, dtype=dtype)
+    # TRAIN.REMAT_BACKBONE exists only in the train config tree; the demo
+    # tree (inference) never remats.
+    remat = bool(getattr(getattr(cfg, "TRAIN", object()), "REMAT_BACKBONE", False))
+    net = deeplab_from_cfg(cfg, dtype=dtype, remat_backbone=remat)
     loss_fn = CrossEntropyLoss(ignore_index=255)
     return net, loss_fn, MeanIOU(cfg.DATASET.NUM_CLASSES), MeanIOU(cfg.DATASET.NUM_CLASSES)
 

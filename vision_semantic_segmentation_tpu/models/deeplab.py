@@ -32,6 +32,8 @@ class DeepLabV3Plus(nn.Module):
     decoder_refine_channels: Sequence[int] = (256, 256)
     decoder_refine_kernel_size: Sequence[int] = (3, 3)
     dtype: Optional[jnp.dtype] = None
+    # per-block backbone rematerialization (see resnet.ResNetBackbone.remat)
+    remat_backbone: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False, upsample_pred: bool = True) -> Array:
@@ -52,7 +54,8 @@ class DeepLabV3Plus(nn.Module):
             raise NotImplementedError(f"output_stride {self.output_stride}")
 
         features = build_backbone(
-            self.backbone, self.output_stride, dtype=self.dtype, module_name="backbone"
+            self.backbone, self.output_stride, dtype=self.dtype, module_name="backbone",
+            remat=self.remat_backbone,
         )(x, train)
 
         feature = ASPP(
@@ -79,7 +82,9 @@ class DeepLabV3Plus(nn.Module):
         return logits
 
 
-def deeplab_from_cfg(cfg, dtype: Optional[jnp.dtype] = None) -> DeepLabV3Plus:
+def deeplab_from_cfg(
+    cfg, dtype: Optional[jnp.dtype] = None, remat_backbone: bool = False
+) -> DeepLabV3Plus:
     """Construct the model from a network config node (demo or train tree)."""
     backbone = cfg.MODEL.BACKBONE
     if backbone == "resnet":  # reference's deeplab default alias
@@ -96,4 +101,5 @@ def deeplab_from_cfg(cfg, dtype: Optional[jnp.dtype] = None) -> DeepLabV3Plus:
         decoder_refine_channels=tuple(cfg.MODEL.DECODER.REFINE_CHANNELS),
         decoder_refine_kernel_size=tuple(cfg.MODEL.DECODER.REFINE_KERNEL_SIZE),
         dtype=dtype,
+        remat_backbone=remat_backbone,
     )

@@ -126,6 +126,15 @@ class ResNetBackbone(nn.Module):
     width_per_group: int = 64
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
     dtype: Optional[jnp.dtype] = None
+    # Rematerialize each residual block under the backward pass
+    # (nn.remat per block): residuals are kept only at block boundaries
+    # and block internals recompute in the backward sweep.  Forward is
+    # bit-identical; grads agree to f32 reassociation noise (XLA
+    # reschedules the recomputed backward).  Trades ~1 extra forward of
+    # FLOPs for the dominant activation-memory term.  TPU-specific (no
+    # reference equivalent — the reference trains without checkpointing,
+    # ref train.py).
+    remat: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -139,6 +148,10 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Dict[str, Array]:
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
         expansion = block_cls.expansion
+        if self.remat:
+            # static_argnums=(2,) marks ``train`` (self=0, x=1) static so
+            # the bool never becomes a tracer inside the checkpointed body.
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
 
         conv_kw = dict(use_bias=False, dtype=self.dtype, kernel_init=kaiming_normal_out)
         bn_kw = dict(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)
@@ -178,7 +191,7 @@ class ResNetBackbone(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )
-                if block_cls is Bottleneck:
+                if self.block == "bottleneck":
                     kwargs.update(groups=self.groups, base_width=self.width_per_group)
                 x = block_cls(**kwargs)(x, train)
                 if first:
@@ -210,6 +223,7 @@ def build_backbone(
     output_stride: int,
     dtype: Optional[jnp.dtype] = None,
     module_name: Optional[str] = None,
+    remat: bool = False,
 ) -> ResNetBackbone:
     """Backbone dispatcher (ref backbone/build.py:4-22).
 
@@ -226,5 +240,6 @@ def build_backbone(
     else:
         raise NotImplementedError(f"Unsupported output stride {output_stride}")
     return ResNetBackbone(
-        replace_stride_with_dilation=dilate, dtype=dtype, name=module_name, **_FAMILY[name]
+        replace_stride_with_dilation=dilate, dtype=dtype, name=module_name,
+        remat=remat, **_FAMILY[name]
     )
