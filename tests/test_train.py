@@ -343,6 +343,28 @@ class TestRematBackbone:
             params_b,
         )
 
+    def test_xception_remat_forward_bit_identical(self):
+        """Xception65 honors TRAIN.REMAT_BACKBONE: forward bit-identical."""
+        from vision_semantic_segmentation_tpu.models.build import build_model
+
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((1, 33, 33, 3)),
+            jnp.float32,
+        )
+        outs = {}
+        for remat in (False, True):
+            cfg = get_train_cfg_defaults()
+            cfg.MODEL.TYPE = "Xception"
+            cfg.MODEL.OUTPUT_STRIDE = 16
+            cfg.DATASET.NUM_CLASSES = 4
+            cfg.TRAIN.REMAT_BACKBONE = remat
+            model, _, _, _ = build_model(cfg)
+            v = model.init(jax.random.PRNGKey(0), x, train=False)
+            outs[remat] = np.asarray(
+                jax.jit(lambda v, x, m=model: m.apply(v, x, train=False))(v, x)
+            )
+        np.testing.assert_array_equal(outs[False], outs[True])
+
 
 class TestBf16Training:
     def test_bf16_trainer_learns_and_tracks_f32(self, tmp_path):

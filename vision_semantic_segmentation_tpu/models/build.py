@@ -41,19 +41,26 @@ def build_xception(cfg, dtype=None):
     class XceptionSeg(nn.Module):
         num_classes: int
         output_stride: int = 16
+        remat: bool = False
 
         @nn.compact
         def __call__(self, x, train: bool = False, upsample_pred: bool = True):
             from ..ops.resize import resize_align_corners
 
             input_hw = (x.shape[-3], x.shape[-2])
-            feats = Xception65(output_stride=self.output_stride, name="backbone")(x, train)
+            feats = Xception65(
+                output_stride=self.output_stride, remat=self.remat, name="backbone"
+            )(x, train)
             logits = nn.Conv(self.num_classes, (1, 1), name="classifier")(feats["feature"])
             if upsample_pred:
                 logits = resize_align_corners(logits.astype(jnp.float32), input_hw)
             return logits
 
-    net = XceptionSeg(num_classes=cfg.DATASET.NUM_CLASSES, output_stride=cfg.MODEL.OUTPUT_STRIDE)
+    net = XceptionSeg(
+        num_classes=cfg.DATASET.NUM_CLASSES,
+        output_stride=cfg.MODEL.OUTPUT_STRIDE,
+        remat=bool(getattr(getattr(cfg, "TRAIN", object()), "REMAT_BACKBONE", False)),
+    )
     loss_fn = CrossEntropyLoss(ignore_index=255)
     return net, loss_fn, MeanIOU(cfg.DATASET.NUM_CLASSES), MeanIOU(cfg.DATASET.NUM_CLASSES)
 

@@ -108,6 +108,11 @@ class Xception65(nn.Module):
 
     output_stride: int = 16
     dtype: Optional[jnp.dtype] = None
+    # Rematerialize each Xception block under the backward pass (same
+    # contract as resnet.ResNetBackbone.remat): forward bit-identical,
+    # grads to f32 reassociation noise, peak activation memory bounded
+    # at block boundaries.
+    remat: bool = False
 
     out_channels = 2048
     low_level_channels = 256
@@ -116,6 +121,11 @@ class Xception65(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Dict[str, Array]:
         if self.output_stride != 16:
             raise NotImplementedError("Xception65 is built at output stride 16")
+        block_cls = (
+            nn.remat(XceptionBlock, static_argnums=(2,))
+            if self.remat
+            else XceptionBlock
+        )
 
         # Entry flow stem
         x = ConvBNReLU(32, kernel_size=3, stride=2, bn=True, relu=True,
@@ -124,20 +134,20 @@ class Xception65(nn.Module):
                        relu=True, dtype=self.dtype, name="entry_conv2")(x, train)
 
         # Entry flow blocks (strided conv-skip)
-        x = XceptionBlock(
+        x = block_cls(
             residual_channels=(128, 128, 128), residual_kernel_size=(3, 3, 3),
             residual_stride=(1, 1, 2), residual_dilation=(1, 1, 1),
             skip_type="conv", skip_channels=128, skip_kernel=1, skip_stride=2,
             add_residual_padding=True, dtype=self.dtype, name="entry_block1",
         )(x, train)
-        x, low_feature = XceptionBlock(
+        x, low_feature = block_cls(
             residual_channels=(256, 256, 256), residual_kernel_size=(3, 3, 3),
             residual_stride=(1, 1, 2), residual_dilation=(1, 1, 1),
             skip_type="conv", skip_channels=256, skip_kernel=1, skip_stride=2,
             return_residual_features=True, add_residual_padding=True,
             dtype=self.dtype, name="entry_block2",
         )(x, train)
-        x = XceptionBlock(
+        x = block_cls(
             residual_channels=(728, 728, 728), residual_kernel_size=(3, 3, 3),
             residual_stride=(1, 1, 2), residual_dilation=(1, 1, 1),
             skip_type="conv", skip_channels=728, skip_kernel=1, skip_stride=2,
@@ -146,14 +156,14 @@ class Xception65(nn.Module):
 
         # Middle flow: 16 identity-skip blocks
         for i in range(16):
-            x = XceptionBlock(
+            x = block_cls(
                 residual_channels=(728, 728, 728), residual_kernel_size=(3, 3, 3),
                 residual_stride=(1, 1, 1), residual_dilation=(1, 1, 1),
                 skip_type="sum", dtype=self.dtype, name=f"middle_block{i}",
             )(x, train)
 
         # Exit flow
-        x = XceptionBlock(
+        x = block_cls(
             residual_channels=(728, 1024, 1024), residual_kernel_size=(3, 3, 3),
             residual_stride=(1, 1, 1), residual_dilation=(1, 1, 1),
             skip_type="conv", skip_channels=1024, skip_kernel=1, skip_stride=1,
