@@ -366,6 +366,73 @@ class TestRematBackbone:
         np.testing.assert_array_equal(outs[False], outs[True])
 
 
+class TestGradAccumulation:
+    def _dummy_state(self):
+        from vision_semantic_segmentation_tpu.models.build import build_model
+
+        cfg = get_train_cfg_defaults()
+        cfg.MODEL.TYPE = "Dummy"
+        cfg.DATASET.NUM_CLASSES = 4
+        model, _, _, _ = build_model(cfg)
+        x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        tx = optax.sgd(0.1)  # no momentum: one update is pure grad descent
+        return TrainState.create(model, variables, tx, jax.random.PRNGKey(1))
+
+    def test_accum_matches_full_batch_for_bn_free_model(self):
+        """accum_steps=4 on a BN-free model: loss, confusion, and the
+        updated params must match the single full-batch step (grad of a
+        mean loss decomposes exactly into the micro-batch mean)."""
+        from vision_semantic_segmentation_tpu.parallel.train_step import (
+            make_train_step,
+        )
+
+        rng = np.random.default_rng(11)
+        batch = {
+            "image": jnp.asarray(
+                rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+            ),
+            "label": jnp.asarray(rng.integers(0, 4, (8, 16, 16)).astype(np.int32)),
+        }
+        results = {}
+        for accum in (1, 4):
+            state = self._dummy_state()
+            step = jax.jit(make_train_step(num_classes=4, accum_steps=accum))
+            new_state, metrics = step(state, batch)
+            results[accum] = (
+                float(metrics["loss"]),
+                np.asarray(metrics["confusion"]),
+                jax.tree_util.tree_map(np.asarray, new_state.params),
+            )
+        np.testing.assert_allclose(results[1][0], results[4][0], rtol=1e-6)
+        np.testing.assert_array_equal(results[1][1], results[4][1])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+            results[1][2],
+            results[4][2],
+        )
+
+    def test_trainer_rejects_unsupported_combos(self, tmp_path):
+        cfg = get_train_cfg_defaults()
+        cfg.MODEL.TYPE = "Dummy"
+        cfg.DATASET.NUM_CLASSES = 3
+        cfg.OPTIMIZER.TYPE = "SGD"
+        cfg.OPTIMIZER.BASE_LR = 0.01
+        cfg.SCHEDULER.TYPE = "PolyLRDecay"
+        cfg.SCHEDULER.PolyLRDecay.max_iter = 10
+        cfg.SCHEDULER.MAX_EPOCH = 1
+        cfg.TRAIN.BATCH_SIZE = 8
+        cfg.TRAIN.GRAD_ACCUM_STEPS = 3  # does not divide 8
+        with pytest.raises(ValueError, match="divisible"):
+            Trainer(cfg, output_dir=str(tmp_path / "a"))
+
+        cfg.TRAIN.GRAD_ACCUM_STEPS = 2
+        cfg.MODEL.SYNC_BN = False
+        if jax.device_count() > 1:  # per-device-BN path requires a mesh
+            with pytest.raises(NotImplementedError, match="GRAD_ACCUM_STEPS"):
+                Trainer(cfg, output_dir=str(tmp_path / "b"))
+
+
 class TestBf16Training:
     def test_bf16_trainer_learns_and_tracks_f32(self, tmp_path):
         """TRAIN.COMPUTE_DTYPE='bfloat16': params/opt/loss stay f32 while

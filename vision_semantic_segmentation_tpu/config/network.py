@@ -97,6 +97,13 @@ def _train_base() -> CN:
     # fit HBM (e.g. batch 8 @ 513^2 f32 OOMs a 16 GB v5e without it).
     # Costs ~1 extra forward of FLOPs.
     _C.TRAIN.REMAT_BACKBONE = False
+    # TPU-specific: split each batch into N micro-batches, accumulate
+    # gradients over a lax.scan, apply ONE averaged optimizer update —
+    # emulates batches that exceed HBM.  Exact full-batch gradient for
+    # BN-free models; with BatchNorm the batch statistics are
+    # micro-batch-local.  BATCH_SIZE must divide by it.  Requires the
+    # SyncBN/jit step (SYNC_BN=True or a single device).
+    _C.TRAIN.GRAD_ACCUM_STEPS = 1
     _C.TRAIN.AUGMENTATION = ()
     _C.TRAIN.FROZEN_PATTERNS = ()
     _C.TRAIN.FREEZE_BATCHNORM = False

@@ -65,6 +65,7 @@ def make_train_step(
     max_grad_norm: float = 0.0,
     freeze_bn_stats: bool = False,
     remat: bool = False,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """Build the fused train step (fwd + loss + bwd + update + metrics).
 
@@ -75,32 +76,79 @@ def make_train_step(
     ``remat`` rematerializes the forward under the backward pass
     (jax.checkpoint): trades FLOPs for activation memory so large batches /
     resolutions fit HBM.
+    ``accum_steps`` > 1 splits the batch into that many micro-batches,
+    accumulates gradients over a lax.scan, and applies ONE optimizer
+    update with the averaged gradient — emulating a batch that does not
+    fit HBM (no reference equivalent; it trains what fits a 2080 Ti).
+    The gradient equals the full-batch gradient exactly for BN-free
+    models; with BatchNorm, batch statistics are micro-batch-local and
+    running stats thread sequentially through the micro-batches (the
+    same semantics as running the micro-batches as separate steps).
+    ``TRAIN.BATCH_SIZE`` must be divisible by ``accum_steps``.
     """
 
     def train_step(state: TrainState, batch: Dict[str, Array]):
         rng, dropout_rng = jax.random.split(state.rng)
 
-        def forward(params, image):
+        def forward(params, stats, image, drng):
             return state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": stats},
                 image,
                 train=True,
                 upsample_pred=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": drng},
             )
 
         if remat:
             forward = jax.checkpoint(forward)
 
-        def loss_fn(params):
-            logits, mutated = forward(params, batch["image"])
-            loss = cross_entropy_loss(logits, batch["label"], ignore_index=ignore_index)
+        def loss_fn(params, stats, mb, drng):
+            logits, mutated = forward(params, stats, mb["image"], drng)
+            loss = cross_entropy_loss(logits, mb["label"], ignore_index=ignore_index)
             return loss, (logits, mutated["batch_stats"])
 
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        if accum_steps == 1:
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, dropout_rng)
+            confusion = confusion_matrix_update(logits, batch["label"], num_classes)
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape(
+                    (accum_steps, x.shape[0] // accum_steps) + x.shape[1:]
+                ),
+                batch,
+            )
+
+            def body(carry, xs):
+                stats, grad_sum, loss_sum, conf_sum = carry
+                mb, idx = xs
+                drng = jax.random.fold_in(dropout_rng, idx)
+                (mloss, (logits, mstats)), mgrads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, stats, mb, drng)
+                carry = (
+                    mstats,
+                    jax.tree.map(jnp.add, grad_sum, mgrads),
+                    loss_sum + mloss,
+                    conf_sum
+                    + confusion_matrix_update(logits, mb["label"], num_classes),
+                )
+                return carry, None
+
+            init = (
+                state.batch_stats,
+                jax.tree.map(jnp.zeros_like, state.params),
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((num_classes, num_classes), jnp.float32),
+            )
+            (new_stats, grad_sum, loss_sum, confusion), _ = jax.lax.scan(
+                body, init, (micro, jnp.arange(accum_steps))
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+            loss = loss_sum / accum_steps
+
         if max_grad_norm > 0:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, max_grad_norm / jnp.maximum(gnorm, 1e-12))
@@ -115,10 +163,7 @@ def make_train_step(
             opt_state=opt_state,
             rng=rng,
         )
-        metrics = {
-            "loss": loss,
-            "confusion": confusion_matrix_update(logits, batch["label"], num_classes),
-        }
+        metrics = {"loss": loss, "confusion": confusion}
         return new_state, metrics
 
     return train_step
@@ -131,6 +176,7 @@ def make_multi_train_step(
     max_grad_norm: float = 0.0,
     freeze_bn_stats: bool = False,
     remat: bool = False,
+    accum_steps: int = 1,
 ):
     """``steps`` train steps fused into ONE device dispatch via lax.scan.
 
@@ -155,6 +201,7 @@ def make_multi_train_step(
         max_grad_norm=max_grad_norm,
         freeze_bn_stats=freeze_bn_stats,
         remat=remat,
+        accum_steps=accum_steps,
     )
 
     def multi_step(state: TrainState, batches: Dict[str, Array]):

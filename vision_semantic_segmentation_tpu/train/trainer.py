@@ -135,6 +135,12 @@ class Trainer:
             1, int(getattr(cfg.TRAIN, "STEPS_PER_DISPATCH", 1))
         )
         k = self._steps_per_dispatch
+        accum = max(1, int(getattr(cfg.TRAIN, "GRAD_ACCUM_STEPS", 1)))
+        if accum > 1 and cfg.TRAIN.BATCH_SIZE % accum:
+            raise ValueError(
+                f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} is not divisible "
+                f"by TRAIN.GRAD_ACCUM_STEPS={accum}"
+            )
         self._multi_train_step = None
         if cfg.MODEL.SYNC_BN or self.mesh.devices.size == 1 or remat or cfg.TRAIN.FREEZE_BATCHNORM:
             self._train_step = jit_train_step(
@@ -143,6 +149,7 @@ class Trainer:
                     max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
                     freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
                     remat=remat,
+                    accum_steps=accum,
                 ),
                 self.mesh,
             )
@@ -154,10 +161,20 @@ class Trainer:
                         max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
                         freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
                         remat=remat,
+                        accum_steps=accum,
                     ),
                     self.mesh,
                 )
         else:
+            if accum > 1:
+                # Don't silently change semantics: the per-device-BN
+                # shard_map step has no micro-batch path (VERDICT r02 #4
+                # rule — unsupported combinations fail loudly).
+                raise NotImplementedError(
+                    "TRAIN.GRAD_ACCUM_STEPS > 1 requires the SyncBN/jit "
+                    "train step (MODEL.SYNC_BN=True or a single device); "
+                    "the per-device-BN shard_map path does not support it"
+                )
             self._train_step = make_per_device_bn_train_step(
                 num_classes,
                 self.mesh,
