@@ -46,7 +46,9 @@ def make_batches(batch):
     }
 
 
-def bench_dtype(name, dtype, batches, remat=False, remat_backbone=False, n=3):
+def bench_dtype(
+    name, dtype, batches, remat=False, remat_backbone=False, accum=1, n=3
+):
     cfg = get_train_cfg_defaults()
     cfg.MODEL.TYPE = "DeepLabv3+"
     cfg.MODEL.BACKBONE = "resnext50_32x4d"
@@ -62,7 +64,9 @@ def bench_dtype(name, dtype, batches, remat=False, remat_backbone=False, n=3):
     tx = optax.sgd(1e-3, momentum=0.9)
     state = TrainState.create(model, variables, tx, jax.random.PRNGKey(1))
 
-    multi = make_multi_train_step(num_classes=NCLS, steps=K, remat=remat)
+    multi = make_multi_train_step(
+        num_classes=NCLS, steps=K, remat=remat, accum_steps=accum
+    )
     run = jax.jit(multi).lower(state, batches).compile()
     state2, m = run(state, batches)
     _ = float(m["loss"][-1])
@@ -82,10 +86,11 @@ def bench_dtype(name, dtype, batches, remat=False, remat_backbone=False, n=3):
     return ms
 
 
-def try_bench(name, dtype, batches, remat=False, remat_backbone=False):
+def try_bench(name, dtype, batches, remat=False, remat_backbone=False, accum=1):
     try:
         return bench_dtype(
-            name, dtype, batches, remat=remat, remat_backbone=remat_backbone
+            name, dtype, batches,
+            remat=remat, remat_backbone=remat_backbone, accum=accum,
         )
     except Exception as e:  # noqa: BLE001 - OOM is an expected outcome
         print(f"{name}: failed ({type(e).__name__})", flush=True)
@@ -114,6 +119,15 @@ def main():
     try_bench("b8 f32 (expected OOM)", None, b8)
     try_bench("b8 f32 + REMAT_BACKBONE", None, b8, remat_backbone=True)
     try_bench("b8 bf16 + REMAT_BACKBONE", jnp.bfloat16, b8, remat_backbone=True)
+
+    # TRAIN.GRAD_ACCUM_STEPS overhead at the same total batch: b8 as two
+    # micro-batches of 4 vs the single-pass b8 row above.  (Staging a b16
+    # window through the MB/s dev tunnel is not worth the wait; the
+    # per-micro-batch cost extrapolates linearly.)
+    try_bench(
+        "b8 bf16 + REMAT + ACCUM=2", jnp.bfloat16, b8,
+        remat_backbone=True, accum=2,
+    )
 
 
 if __name__ == "__main__":
