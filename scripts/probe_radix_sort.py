@@ -33,7 +33,8 @@ sys.path.insert(0, ".")
 
 T = 16
 N = 1 << 17
-KEY_BITS = 24
+# headline grid: 2000*2000 cells * 5 classes * 2 (boost bit) ~ 4e7 -> 26 bits
+KEY_BITS = 26
 
 
 def radix_sort(keys, bits=KEY_BITS, digit_bits=4):
