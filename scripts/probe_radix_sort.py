@@ -37,21 +37,7 @@ N = 1 << 17
 KEY_BITS = 26
 
 
-def radix_sort(keys, bits=KEY_BITS, digit_bits=4):
-    """LSD radix sort of int32 keys in [0, 2**bits)."""
-    radix = 1 << digit_bits
-    for shift in range(0, bits, digit_bits):
-        digit = (keys >> shift) & (radix - 1)
-        oh = jax.nn.one_hot(digit, radix, dtype=jnp.float32)
-        run = jnp.cumsum(oh, axis=0)
-        counts = run[-1]
-        offsets = jnp.concatenate(
-            [jnp.zeros((1,), jnp.float32), jnp.cumsum(counts)[:-1]]
-        )
-        rank = jnp.sum(run * oh, axis=1) - 1.0
-        dst = (offsets[digit] + rank).astype(jnp.int32)
-        keys = jnp.zeros_like(keys).at[dst].set(keys, unique_indices=True)
-    return keys
+from vision_semantic_segmentation_tpu.ops.sort import radix_sort  # noqa: E402
 
 
 def scan_program(step):
@@ -85,7 +71,7 @@ def main():
     keys = jnp.asarray(keys_np)
 
     # correctness first (single dispatch)
-    got = np.asarray(jax.jit(radix_sort).lower(keys).compile()(keys))
+    got = np.asarray(jax.jit(lambda k: radix_sort(k, KEY_BITS)).lower(keys).compile()(keys))
     np.testing.assert_array_equal(got, np.sort(keys_np))
     print("radix == np.sort: OK")
 
@@ -96,7 +82,7 @@ def main():
         return jnp.sort(keys + jnp.int32(c * 0.0)).astype(jnp.float32)
 
     def radix_step(c):
-        return radix_sort(keys + jnp.int32(c * 0.0)).astype(jnp.float32)
+        return radix_sort(keys + jnp.int32(c * 0.0), KEY_BITS).astype(jnp.float32)
 
     for name, step in (("jnp.sort (bitonic)", xla_step), ("radix 6x4bit", radix_step)):
         run = jax.jit(scan_program(step)).lower(jnp.float32(0.0)).compile()
@@ -106,7 +92,7 @@ def main():
     # digit-width sweep: fewer wider passes trade cumsum width for count
     for db in (2, 8):
         def step(c, db=db):
-            return radix_sort(keys + jnp.int32(c * 0.0), digit_bits=db).astype(jnp.float32)
+            return radix_sort(keys + jnp.int32(c * 0.0), KEY_BITS, digit_bits=db).astype(jnp.float32)
 
         run = jax.jit(scan_program(step)).lower(jnp.float32(0.0)).compile()
         ms = timed(run) - null_ms

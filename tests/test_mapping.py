@@ -498,6 +498,35 @@ class TestEngineEdgeCases:
                                  position, quaternion)
         assert float(np.asarray(grid).sum()) > 0
 
+    def test_radix_sort_method_matches_bitonic(self, rng):
+        """The packed-key fast path with sort_method='radix' is
+        bit-identical to the default bitonic sort (values sorts of the
+        same keys are equal element-for-element, so the whole update
+        must match exactly — incl. the intensity boost carried in the
+        packed LSB)."""
+        cfg = small_cfg()
+        pts, img, position, quaternion = make_frame(rng, cfg, n=2500)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+
+        def run(method):
+            engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+            engine.sort_method = method
+            grid, _, _ = engine.step(engine.init_grid(), pcd, valid, img,
+                                     position, quaternion)
+            return np.asarray(grid)
+
+        want = run("bitonic")
+        got = run("radix")
+        assert want.sum() > 0
+        np.testing.assert_array_equal(got, want)
+
+    def test_unknown_sort_method_raises(self, rng):
+        cfg = small_cfg()
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        engine.sort_method = "quantum"
+        with pytest.raises(ValueError, match="sort_method"):
+            engine._build_dense_update()
+
     def test_no_lane_in_labels(self, rng):
         """Configs without a 'lane' class skip the intensity boost."""
         cfg = small_cfg()

@@ -114,3 +114,46 @@ class TestRemap:
         ours = np.asarray(remap_bilinear(jnp.asarray(img), jnp.asarray(np.stack([map_x, map_y]))))
         diff = np.abs(ours[1:-1, 1:-1] - ref[1:-1, 1:-1])
         assert np.percentile(diff, 99) < 1.0
+
+
+class TestRadixSort:
+    """LSD radix sort (ops/sort.py) — the opt-in alternative to XLA's
+    bitonic jnp.sort in the grid update's packed-key fast path."""
+
+    @pytest.mark.parametrize("key_bits,digit_bits", [(26, 4), (24, 8), (10, 4), (17, 2)])
+    def test_matches_np_sort(self, rng, key_bits, digit_bits):
+        from vision_semantic_segmentation_tpu.ops.sort import radix_sort
+
+        keys = rng.integers(0, 1 << key_bits, 4096).astype(np.int32)
+        got = np.asarray(radix_sort(jnp.asarray(keys), key_bits, digit_bits))
+        np.testing.assert_array_equal(got, np.sort(keys))
+
+    def test_sentinel_heavy(self, rng):
+        """The engine's real distribution: most slots hold the max packed
+        sentinel (invalid points), valid keys cluster in a small range."""
+        from vision_semantic_segmentation_tpu.ops.sort import radix_sort
+
+        sentinel = 2000 * 2000 * 5 * 2
+        keys = np.full(8192, sentinel, np.int32)
+        n_valid = 900
+        keys[rng.permutation(8192)[:n_valid]] = rng.integers(
+            0, 500 * 5 * 2, n_valid
+        ).astype(np.int32)
+        got = np.asarray(radix_sort(jnp.asarray(keys), sentinel.bit_length()))
+        np.testing.assert_array_equal(got, np.sort(keys))
+
+    def test_all_equal_and_presorted(self):
+        from vision_semantic_segmentation_tpu.ops.sort import radix_sort
+
+        same = np.full(512, 77, np.int32)
+        np.testing.assert_array_equal(np.asarray(radix_sort(jnp.asarray(same), 8)), same)
+        asc = np.arange(512, dtype=np.int32)
+        np.testing.assert_array_equal(np.asarray(radix_sort(jnp.asarray(asc), 10)), asc)
+
+    def test_validation(self):
+        from vision_semantic_segmentation_tpu.ops.sort import radix_sort
+
+        with pytest.raises(ValueError):
+            radix_sort(jnp.zeros((4, 4), jnp.int32), 8)
+        with pytest.raises(ValueError):
+            radix_sort(jnp.zeros((4,), jnp.int32), 8, digit_bits=0)

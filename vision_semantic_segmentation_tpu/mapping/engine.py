@@ -184,6 +184,12 @@ class SemanticMappingEngine:
         # kept opt-in for standalone/update-dominated workloads.
         self.use_pallas_fold = False
 
+        # Sort backend for the packed-key dedupe fast path: 'bitonic'
+        # (default, XLA's jnp.sort) or 'radix' (ops/sort.py — O(n) LSD
+        # passes instead of the O(n log^2 n) bitonic network; opt-in
+        # until scripts/probe_radix_sort.py picks a winner on hardware).
+        self.sort_method = "bitonic"
+
         # One compiled step / sequence runner per (camera, pcd-frame)
         # combination — a fresh jax.jit wrapper per call would lose jit's
         # compilation cache and re-trace every chunk of a long replay
@@ -377,6 +383,16 @@ class SemanticMappingEngine:
         use_intensity = self.use_intensity and lane >= 0
         dedupe = self.duplicate_semantics == "reference"
         num_cls = self_evidence.shape[0]
+        if self.sort_method not in ("bitonic", "radix"):
+            raise ValueError(f"unknown sort_method {self.sort_method!r}")
+        use_radix = self.sort_method == "radix"
+
+        def _sort_packed(packed, max_packed):
+            if use_radix:
+                from ..ops.sort import radix_sort
+
+                return radix_sort(packed, key_bits=int(max_packed).bit_length())
+            return jnp.sort(packed)
 
         def _segmented_sum(flags_first, values):
             """Inclusive segmented cumsum over sorted keys (associative)."""
@@ -423,7 +439,7 @@ class SemanticMappingEngine:
                 packed = key * 2 + boost.astype(jnp.int32)
             else:
                 packed = key * 2
-            psort = jnp.sort(packed)
+            psort = _sort_packed(packed, sentinel * 2)
             ksort = psort // 2
             kvalid = ksort < sentinel
             is_last = jnp.concatenate([ksort[:-1] != ksort[1:], jnp.ones((1,), bool)])
