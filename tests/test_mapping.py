@@ -737,6 +737,34 @@ class TestConfidenceWeightedUpdate:
         assert grid[2, r7, c7] == pytest.approx(0.9)   # max, not sum
         assert grid[1, r9, c9] == pytest.approx(0.6)
 
+    @pytest.mark.parametrize("semantics", ["reference", "accumulate"])
+    def test_radix_matches_bitonic_on_general_path(self, rng, semantics):
+        """Weighted updates take the general argsort path; with
+        sort_method='radix' the stable radix permutation must reproduce
+        the bitonic result bit-for-bit (stability fixes the within-
+        segment order, so even f32 segment sums agree exactly)."""
+        n = 64
+        cell_np = rng.integers(0, 100, n).astype(np.int32)
+        cls_np = rng.integers(0, 5, n).astype(np.int32)
+        inten_np = rng.uniform(0, 20, n).astype(np.float32)
+        upd_np = rng.random(n) < 0.8
+        w_np = rng.uniform(0.1, 1.0, n).astype(np.float32)
+
+        def run(method):
+            engine, dense, h, w = self._setup(semantics)
+            engine.sort_method = method
+            dense = engine._build_dense_update()
+            return np.asarray(dense(
+                engine.init_grid(), jnp.asarray(cell_np), jnp.asarray(cls_np),
+                jnp.asarray(inten_np), jnp.asarray(upd_np), h, w,
+                weights=jnp.asarray(w_np),
+            ))
+
+        want = run("bitonic")
+        got = run("radix")
+        assert want.sum() > 0
+        np.testing.assert_array_equal(got, want)
+
     def test_accumulate_sums_confidences(self):
         engine, dense, h, w = self._setup("accumulate")
         cell = jnp.asarray([7, 7, 7] + [0] * 61, jnp.int32)

@@ -157,3 +157,13 @@ class TestRadixSort:
             radix_sort(jnp.zeros((4, 4), jnp.int32), 8)
         with pytest.raises(ValueError):
             radix_sort(jnp.zeros((4,), jnp.int32), 8, digit_bits=0)
+
+    def test_with_perm_matches_stable_argsort(self, rng):
+        """Permutation output must equal jnp.argsort exactly, duplicates
+        included: both sorts are stable, so ties break by position."""
+        from vision_semantic_segmentation_tpu.ops.sort import radix_sort_with_perm
+
+        keys = rng.integers(0, 50, 4096).astype(np.int32)  # heavy duplicates
+        ksort, perm = radix_sort_with_perm(jnp.asarray(keys), 6)
+        np.testing.assert_array_equal(np.asarray(perm), np.argsort(keys, kind="stable"))
+        np.testing.assert_array_equal(np.asarray(ksort), np.sort(keys))

@@ -487,8 +487,15 @@ class SemanticMappingEngine:
                 )
             sentinel = gh * gw * num_cls
             key = jnp.where(upd, cell * num_cls + jnp.clip(cls, 0), sentinel)
-            order = jnp.argsort(key)
-            ksort = key[order]
+            if use_radix:
+                from ..ops.sort import radix_sort_with_perm
+
+                ksort, order = radix_sort_with_perm(
+                    key, key_bits=int(sentinel).bit_length()
+                )
+            else:
+                order = jnp.argsort(key)
+                ksort = key[order]
             kvalid = ksort < sentinel
             is_first = jnp.concatenate([jnp.ones((1,), bool), ksort[1:] != ksort[:-1]])
             is_last = jnp.concatenate([ksort[:-1] != ksort[1:], jnp.ones((1,), bool)])

@@ -27,7 +27,31 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["radix_sort"]
+__all__ = ["radix_sort", "radix_sort_with_perm"]
+
+
+def _check_args(keys: jax.Array, digit_bits: int) -> None:
+    if keys.ndim != 1:
+        raise ValueError(f"radix sort expects a 1-D array, got {keys.shape}")
+    if keys.shape[0] >= 1 << 24:
+        raise ValueError(
+            f"n={keys.shape[0]} overflows exact f32 rank arithmetic (2^24)"
+        )
+    if not 1 <= digit_bits <= 8:
+        raise ValueError(f"digit_bits must be in [1, 8], got {digit_bits}")
+
+
+def _pass_dst(keys: jax.Array, shift: int, radix: int) -> jax.Array:
+    """Stable per-pass scatter destinations (a permutation of [0, n))."""
+    digit = (keys >> shift) & (radix - 1)
+    oh = jax.nn.one_hot(digit, radix, dtype=jnp.float32)
+    run = jnp.cumsum(oh, axis=0)
+    counts = run[-1]
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.cumsum(counts)[:-1]]
+    )
+    rank = jnp.sum(run * oh, axis=1) - 1.0
+    return (offsets[digit] + rank).astype(jnp.int32)
 
 
 def radix_sort(keys: jax.Array, key_bits: int, digit_bits: int = 4) -> jax.Array:
@@ -37,23 +61,27 @@ def radix_sort(keys: jax.Array, key_bits: int, digit_bits: int = 4) -> jax.Array
     dedupe path only needs sorted values.  ``key_bits``/``digit_bits``
     must be static; ``ceil(key_bits / digit_bits)`` passes run.
     """
-    if keys.ndim != 1:
-        raise ValueError(f"radix_sort expects a 1-D array, got {keys.shape}")
-    n = keys.shape[0]
-    if n >= 1 << 24:
-        raise ValueError(f"n={n} overflows exact f32 rank arithmetic (2^24)")
-    if not 1 <= digit_bits <= 8:
-        raise ValueError(f"digit_bits must be in [1, 8], got {digit_bits}")
+    _check_args(keys, digit_bits)
     radix = 1 << digit_bits
     for shift in range(0, key_bits, digit_bits):
-        digit = (keys >> shift) & (radix - 1)
-        oh = jax.nn.one_hot(digit, radix, dtype=jnp.float32)
-        run = jnp.cumsum(oh, axis=0)
-        counts = run[-1]
-        offsets = jnp.concatenate(
-            [jnp.zeros((1,), jnp.float32), jnp.cumsum(counts)[:-1]]
-        )
-        rank = jnp.sum(run * oh, axis=1) - 1.0
-        dst = (offsets[digit] + rank).astype(jnp.int32)
+        dst = _pass_dst(keys, shift, radix)
         keys = jnp.zeros_like(keys).at[dst].set(keys, unique_indices=True)
     return keys
+
+
+def radix_sort_with_perm(
+    keys: jax.Array, key_bits: int, digit_bits: int = 4
+) -> tuple:
+    """Stable (sorted_keys, argsort_permutation) — radix twin of
+    ``order = jnp.argsort(key); ksort = key[order]`` in the engine's
+    general update path.  LSD radix is stable, and ``jnp.argsort``
+    defaults to a stable sort, so the permutation matches it exactly
+    even across duplicate keys."""
+    _check_args(keys, digit_bits)
+    radix = 1 << digit_bits
+    perm = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    for shift in range(0, key_bits, digit_bits):
+        dst = _pass_dst(keys, shift, radix)
+        keys = jnp.zeros_like(keys).at[dst].set(keys, unique_indices=True)
+        perm = jnp.zeros_like(perm).at[dst].set(perm, unique_indices=True)
+    return keys, perm
