@@ -67,8 +67,9 @@ def timed(run, n=3):
 def main():
     print(f"device: {jax.devices()[0].device_kind}  N={N}, {KEY_BITS}-bit keys, T={T}")
     rng = np.random.default_rng(0)
-    keys_np = rng.integers(0, 1 << KEY_BITS, N).astype(np.int32)
-    keys = jnp.asarray(keys_np)
+    # host-numpy closure: embeds into the module for free (CLAUDE.md)
+    keys = rng.integers(0, 1 << KEY_BITS, N).astype(np.int32)
+    keys_np = keys
 
     # correctness first (single dispatch)
     got = np.asarray(jax.jit(lambda k: radix_sort(k, KEY_BITS)).lower(keys).compile()(keys))

@@ -47,13 +47,19 @@ def timed(run, args, n=3):
 
 
 def scan_program(step):
-    """T-step scan carry-threading a scalar digest of step's output."""
+    """T-step scan carry-threading a scalar digest of step's output.
 
-    def body(carry, _):
-        out = step(carry)
-        return jnp.float32(jnp.sum(out) * 1e-9) + carry * 0.0, ()
+    Extra positional args of the returned runner are passed through to
+    ``step`` as traced ARGUMENTS — device arrays (model params!) must
+    ride this path, never a closure: every closure-captured jnp array is
+    read back through the tunnel at ~39 s at lowering (CLAUDE.md).
+    """
 
-    def run(seed):
+    def run(seed, *args):
+        def body(carry, _):
+            out = step(carry, *args)
+            return jnp.float32(jnp.sum(out) * 1e-9) + carry * 0.0, ()
+
         final, _ = jax.lax.scan(body, seed, None, length=T)
         return final
 
@@ -76,27 +82,28 @@ def main():
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), x0, train=False)
     ).lower().compile()()
-    frame = jnp.asarray(
-        rng.integers(0, 255, (1, 476, 356, 3)).astype(np.float32)
-    )
+    frame = rng.integers(0, 255, (1, 476, 356, 3)).astype(np.float32)
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
 
-    def video_step(carry):
+    def video_step(carry, variables):
         x = frame / 255.0
         x = (x - mean) / std + carry * 0.0
         logits = model.apply(variables, x, train=False, upsample_pred=False)
         return jnp.argmax(logits, axis=-1).astype(jnp.float32)
 
-    run = jax.jit(scan_program(video_step)).lower(jnp.float32(0.0)).compile()
-    ms = timed(run, (jnp.float32(0.0),)) - null_ms
+    run = jax.jit(scan_program(video_step)).lower(
+        jnp.float32(0.0), variables
+    ).compile()
+    ms = timed(run, (jnp.float32(0.0), variables)) - null_ms
     print(f"video model path 476x356 (ref 10 FPS CUDA): "
           f"{ms:6.2f} ms = {1e3 / ms:6.1f} FPS  ({1e3 / ms / 10:.1f}x ref)")
 
     # 2) MeanIOU update on (8, 513, 513) preds/labels, 21 classes
     #    (ref: 0.16 s numpy CPU per batch)
-    preds = jnp.asarray(rng.integers(0, 21, (8, 513, 513)).astype(np.int32))
-    labels = jnp.asarray(rng.integers(0, 21, (8, 513, 513)).astype(np.int32))
+    # host-numpy closures embed free; device ones cost ~39 s/array
+    preds = rng.integers(0, 21, (8, 513, 513)).astype(np.int32)
+    labels = rng.integers(0, 21, (8, 513, 513)).astype(np.int32)
 
     def miou_step(carry):
         p = preds + jnp.int32(carry * 0.0)
@@ -108,9 +115,7 @@ def main():
           f"{ms:6.2f} ms  ({160 / ms:.0f}x ref)")
 
     # 3) argmax over (8, 513, 513, 21) logits (ref: 30 ms GPU / 200 ms CPU)
-    logits = jnp.asarray(
-        rng.standard_normal((8, 513, 513, 21)).astype(np.float32)
-    )
+    logits = rng.standard_normal((8, 513, 513, 21)).astype(np.float32)
 
     def argmax_step(carry):
         return jnp.argmax(logits + carry * 0.0, axis=-1).astype(jnp.float32)
