@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+import warnings
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -165,10 +166,16 @@ class MapEvaluator:
                 self._report(result)
             ious.append([result["iou"][k] for k in ("road", "crosswalk", "lane")])
             misses.append(result["missing_rate"])
-        mean_iou = np.nanmean(np.asarray(ious), axis=0)
+        with warnings.catch_warnings():
+            # a class absent from every map yields an all-NaN column; the
+            # NaN mean is the intended result (ref reports nan IoU), not
+            # a condition worth a RuntimeWarning per batch
+            warnings.simplefilter("ignore", RuntimeWarning)
+            mean_iou = np.nanmean(np.asarray(ious), axis=0)
+            miou = float(np.nanmean(mean_iou))
         summary = {
             "iou": dict(zip(("road", "crosswalk", "lane"), mean_iou.tolist())),
-            "miou": float(np.nanmean(mean_iou)),
+            "miou": miou,
             "missing_rate": float(np.mean(misses)),
             "num_maps": len(files),
         }

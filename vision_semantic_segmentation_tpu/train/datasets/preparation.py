@@ -5,9 +5,14 @@ Rebuilds the reference's two preparation pipelines:
     IGNORE_INDEX=255 (ref data/utils/mapillary_preparation.py:21-73)
   * BDD color-label -> trainId conversion (ref data/utils/bdd_preparation.py)
 
-Parallelism uses a ``multiprocessing.Pool`` over files — the reference's
-host-side data-parallel pattern (SURVEY.md section 2.11) — with the label
-remap itself as a single vectorized take() instead of a per-class loop.
+Parallelism fans the per-file work over a thread pool — the reference's
+host-side data-parallel pattern (SURVEY.md section 2.11; it uses a fork
+``multiprocessing.Pool``) — with the label remap itself as a single
+vectorized take() instead of a per-class loop.  Threads, not processes,
+on purpose: the work is PIL decode/encode + one numpy take (all
+GIL-releasing), fork can deadlock a parent that already started JAX's
+thread pools, and spawn re-executes ``__main__`` (breaking interactive
+and stdin-driven callers).
 """
 from __future__ import annotations
 
@@ -15,7 +20,7 @@ import functools
 import json
 import os
 import os.path as osp
-from multiprocessing import Pool
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Tuple
 
 import numpy as np
@@ -109,8 +114,8 @@ def prepare_labels(
     if num_workers <= 1:
         results = [worker(t) for t in tasks]
     else:
-        with Pool(num_workers) as pool:
-            results = pool.map(worker, tasks)
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            results = list(pool.map(worker, tasks))
     return int(sum(results))
 
 
