@@ -105,6 +105,23 @@ def _train_base() -> CN:
     # SyncBN/jit step (SYNC_BN=True or a single device).
     _C.TRAIN.GRAD_ACCUM_STEPS = 1
     _C.TRAIN.AUGMENTATION = ()
+    # TPU-specific: run the training augmentation chain (random scale ->
+    # pad -> crop -> horizontal flip -> ImageNet normalize) ON DEVICE
+    # inside the jitted train step (train/augment.py).  The host then
+    # supplies raw fixed-shape uint8 batches (TRAIN.AUGMENTATION should
+    # contain at most a Resize) — removes per-sample PIL work from the
+    # training critical path and uploads 4x fewer bytes.  Semantics
+    # mirror RandomSizeAndCrop(SIZE, SCALE) + RandomHorizontalFlip +
+    # ToTensor + Normalize.
+    _C.TRAIN.DEVICE_AUGMENT = CN()
+    _C.TRAIN.DEVICE_AUGMENT.ENABLED = False
+    _C.TRAIN.DEVICE_AUGMENT.SIZE = 513
+    _C.TRAIN.DEVICE_AUGMENT.SCALE = (0.5, 2.0)
+    _C.TRAIN.DEVICE_AUGMENT.FLIP_P = 0.5
+    _C.TRAIN.DEVICE_AUGMENT.IGNORE_INDEX = 255
+    # 0 = disabled; otherwise pre-scale so min(H, W) == PRE_SIZE before
+    # the random scale draw (ref RandomSizeAndCrop.pre_size)
+    _C.TRAIN.DEVICE_AUGMENT.PRE_SIZE = 0
     _C.TRAIN.FROZEN_PATTERNS = ()
     _C.TRAIN.FREEZE_BATCHNORM = False
 

@@ -43,7 +43,9 @@ def dehomogenize(x: Array) -> Array:
 def skew(w: Array) -> Array:
     """3-vector -> 3x3 skew-symmetric matrix (ref utils.py:100-108)."""
     w = jnp.reshape(w, (3,))
-    zero = jnp.zeros((), dtype=w.dtype)
+    # result_type canonicalizes host float64 inputs to the default float
+    # (avoids the x64-truncation UserWarning an explicit f64 request emits)
+    zero = jnp.zeros((), dtype=jnp.result_type(w))
     return jnp.stack(
         [
             jnp.stack([zero, -w[2], w[1]]),
@@ -68,7 +70,7 @@ def deparameterize_rotation(w: Array) -> Array:
     w = jnp.reshape(w, (3, 1))
     theta = jnp.linalg.norm(w)
     w_skew = skew(w)
-    eye = jnp.eye(3, dtype=w.dtype)
+    eye = jnp.eye(3, dtype=jnp.result_type(w))
     # Taylor-safe coefficients: sinc(theta) and (1-cos)/theta^2
     small = theta < 1e-7
     k1 = jnp.where(small, 1.0, sinc(theta))

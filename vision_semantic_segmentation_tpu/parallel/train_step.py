@@ -17,7 +17,7 @@ jitted step over a device mesh:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +66,7 @@ def make_train_step(
     freeze_bn_stats: bool = False,
     remat: bool = False,
     accum_steps: int = 1,
+    augment: Optional[Callable] = None,
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """Build the fused train step (fwd + loss + bwd + update + metrics).
 
@@ -85,10 +86,17 @@ def make_train_step(
     running stats thread sequentially through the micro-batches (the
     same semantics as running the micro-batches as separate steps).
     ``TRAIN.BATCH_SIZE`` must be divisible by ``accum_steps``.
+    ``augment``, when given, maps ``(rng, batch) -> batch`` INSIDE the
+    step (see train/augment.py): the host then feeds raw uint8 batches
+    and the random scale/crop/flip/normalize chain runs on-device.
     """
 
     def train_step(state: TrainState, batch: Dict[str, Array]):
-        rng, dropout_rng = jax.random.split(state.rng)
+        if augment is not None:
+            rng, dropout_rng, aug_rng = jax.random.split(state.rng, 3)
+            batch = augment(aug_rng, batch)
+        else:
+            rng, dropout_rng = jax.random.split(state.rng)
 
         def forward(params, stats, image, drng):
             return state.apply_fn(
@@ -177,6 +185,7 @@ def make_multi_train_step(
     freeze_bn_stats: bool = False,
     remat: bool = False,
     accum_steps: int = 1,
+    augment: Optional[Callable] = None,
 ):
     """``steps`` train steps fused into ONE device dispatch via lax.scan.
 
@@ -202,6 +211,7 @@ def make_multi_train_step(
         freeze_bn_stats=freeze_bn_stats,
         remat=remat,
         accum_steps=accum_steps,
+        augment=augment,
     )
 
     def multi_step(state: TrainState, batches: Dict[str, Array]):
@@ -233,6 +243,7 @@ def make_per_device_bn_train_step(
     ignore_index: int = 255,
     max_grad_norm: float = 0.0,
     steps: int = 1,
+    augment: Optional[Callable] = None,
 ):
     """Data-parallel train step with PER-DEVICE BatchNorm statistics.
 
@@ -252,7 +263,14 @@ def make_per_device_bn_train_step(
     from jax import shard_map
 
     def _shard_body(state: TrainState, batch: Dict[str, Array]):
-        rng, base_dropout = jax.random.split(state.rng)
+        if augment is not None:
+            rng, base_dropout, aug_base = jax.random.split(state.rng, 3)
+            # distinct augmentations per device shard, like DDP workers
+            batch = augment(
+                jax.random.fold_in(aug_base, jax.lax.axis_index(axis)), batch
+            )
+        else:
+            rng, base_dropout = jax.random.split(state.rng)
         # distinct dropout mask per device, like independent DDP workers
         dropout_rng = jax.random.fold_in(base_dropout, jax.lax.axis_index(axis))
 

@@ -141,6 +141,12 @@ class Trainer:
                 f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} is not divisible "
                 f"by TRAIN.GRAD_ACCUM_STEPS={accum}"
             )
+        # TRAIN.DEVICE_AUGMENT: the random scale/crop/flip/normalize chain
+        # runs inside the jitted step; the loader feeds raw uint8 batches
+        from .augment import device_augment_from_cfg
+
+        aug = device_augment_from_cfg(cfg)
+        self._device_augment = aug
         self._multi_train_step = None
         if cfg.MODEL.SYNC_BN or self.mesh.devices.size == 1 or remat or cfg.TRAIN.FREEZE_BATCHNORM:
             self._train_step = jit_train_step(
@@ -150,6 +156,7 @@ class Trainer:
                     freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
                     remat=remat,
                     accum_steps=accum,
+                    augment=aug,
                 ),
                 self.mesh,
             )
@@ -162,6 +169,7 @@ class Trainer:
                         freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
                         remat=remat,
                         accum_steps=accum,
+                        augment=aug,
                     ),
                     self.mesh,
                 )
@@ -179,6 +187,7 @@ class Trainer:
                 num_classes,
                 self.mesh,
                 max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
+                augment=aug,
             )
             if k > 1:
                 self._multi_train_step = make_per_device_bn_train_step(
@@ -186,6 +195,7 @@ class Trainer:
                     self.mesh,
                     max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
                     steps=k,
+                    augment=aug,
                 )
         self._eval_step = jit_eval_step(make_eval_step(num_classes), self.mesh)
 
@@ -317,8 +327,12 @@ class Trainer:
             now = time.perf_counter()
             pending_data_time += now - end
             end = now
+            # with device augment the loader feeds RAW uint8 images; the
+            # step's augment asserts the dtype, so don't coerce here
             group.append({
-                "image": np.asarray(batch["image"], np.float32),
+                "image": np.asarray(batch["image"])
+                if self._device_augment is not None
+                else np.asarray(batch["image"], np.float32),
                 "label": np.asarray(batch["label"], np.int32),
             })
             if len(group) == k:
