@@ -48,6 +48,11 @@ def _train_base() -> CN:
     # double-buffered here (runtime/replay.py), so there is no CUDA
     # pinned-memory analogue to toggle
     _C.DATALOADER.PIN_MEMORY = True
+    # batches decoded AHEAD on a background thread while the device runs
+    # the previous dispatch (train/prefetch.py — the role torch's worker
+    # prefetch plays in the reference, data/build.py:95-103); ordering
+    # preserved exactly, 0 disables
+    _C.DATALOADER.PREFETCH_BATCHES = 2
 
     _C.OPTIMIZER = CN()
     _C.OPTIMIZER.TYPE = ""

@@ -257,9 +257,12 @@ class Trainer:
         return {"image": image, "label": label}
 
     # -- epoch loops (ref train.py:56-161) -----------------------------------
-    def _dispatch_group(self, group):
-        """Run a list of host batches: fused K-step scan when it fills the
-        dispatch width, per-step calls otherwise. Returns per-step losses."""
+    def _dispatch_group_async(self, group):
+        """Upload + dispatch a list of host batches WITHOUT reading metrics
+        back: fused K-step scan when the group fills the dispatch width,
+        per-step calls otherwise.  Dispatch is asynchronous, so the device
+        executes while the host stages the next group; pass the returned
+        handle to :meth:`_drain_group` to realize the losses/metrics."""
         k = self._steps_per_dispatch
         if len(group) == k and self._multi_train_step is not None:
             stacked = shard_stacked_batches(self.mesh, {
@@ -267,6 +270,20 @@ class Trainer:
                 "label": np.stack([b["label"] for b in group]),
             })
             self.state, metrics = self._multi_train_step(self.state, stacked)
+            return ("fused", metrics)
+        handles = []
+        for b in group:
+            # pad indivisible remainder batches (loss/metrics unchanged;
+            # only train-mode BN statistics see the duplicated samples)
+            sharded = shard_batch(self.mesh, self._pad_batch(b))
+            self.state, metrics = self._train_step(self.state, sharded)
+            handles.append(metrics)
+        return ("steps", handles)
+
+    def _drain_group(self, handle):
+        """Read a dispatched group's metrics back; returns per-step losses."""
+        kind, metrics = handle
+        if kind == "fused":
             losses = [float(v) for v in np.asarray(metrics["loss"])]
             # (K, C, C) per-step stack: fold in float64 on host — each step's
             # counts are f32-exact, a K-step f32 sum need not be
@@ -275,14 +292,14 @@ class Trainer:
             )
             return losses
         losses = []
-        for b in group:
-            # pad indivisible remainder batches (loss/metrics unchanged;
-            # only train-mode BN statistics see the duplicated samples)
-            sharded = shard_batch(self.mesh, self._pad_batch(b))
-            self.state, metrics = self._train_step(self.state, sharded)
-            losses.append(float(metrics["loss"]))
-            self.train_metric.merge(np.asarray(metrics["confusion"]))
+        for m in metrics:
+            losses.append(float(m["loss"]))
+            self.train_metric.merge(np.asarray(m["confusion"]))
         return losses
+
+    def _dispatch_group(self, group):
+        """Synchronous dispatch + drain (single-group convenience)."""
+        return self._drain_group(self._dispatch_group_async(group))
 
     def train_one_epoch(self, dataloader, epoch: int) -> MeterLogger:
         meters = MeterLogger()
@@ -294,19 +311,25 @@ class Trainer:
         iteration = 0
         group = []
         pending_data_time = 0.0
+        # one-deep dispatch pipeline: group i+1 is uploaded + dispatched
+        # BEFORE group i's metrics are read back, so host staging overlaps
+        # device compute (readbacks — not dispatches — are the sync points)
+        inflight = None  # (drain handle, data_time)
 
-        def flush():
-            nonlocal iteration, group, end, pending_data_time
-            if not group:
+        def drain():
+            nonlocal iteration, end, inflight
+            if inflight is None:
                 return
-            losses = self._dispatch_group(group)
+            handle, data_time = inflight
+            inflight = None
+            losses = self._drain_group(handle)
             batch_time = time.perf_counter() - end
             end = time.perf_counter()
             n = len(losses)
             for loss in losses:
                 meters.update(
                     loss=loss,
-                    data_time=pending_data_time / n,
+                    data_time=data_time / n,
                     batch_time=batch_time / n,
                 )
                 if log_period and iteration % log_period == 0:
@@ -320,8 +343,17 @@ class Trainer:
                         f"mIoU {self.train_metric.global_avg:.4f}"
                     )
                 iteration += 1
+
+        def flush():
+            nonlocal group, pending_data_time, inflight
+            if not group:
+                return
+            handle = self._dispatch_group_async(group)
+            data_time = pending_data_time
             group = []
             pending_data_time = 0.0
+            drain()  # previous group (device already moved on to this one)
+            inflight = (handle, data_time)
 
         for batch in dataloader:
             now = time.perf_counter()
@@ -338,6 +370,7 @@ class Trainer:
             if len(group) == k:
                 flush()
         flush()  # epoch remainder (< k batches) runs per-step
+        drain()  # realize the last in-flight group
         return meters
 
     def validate(self, dataloader, epoch: int) -> float:
@@ -367,6 +400,13 @@ class Trainer:
             train_loader = build_dataloader(cfg, mode="train")
         if val_loader is None and cfg.VALIDATE.PERIOD:
             val_loader = build_dataloader(cfg, mode="val")
+        prefetch = int(getattr(cfg.DATALOADER, "PREFETCH_BATCHES", 0))
+        if prefetch > 0:
+            from .prefetch import PrefetchLoader
+
+            train_loader = PrefetchLoader(train_loader, depth=prefetch)
+            if val_loader is not None:
+                val_loader = PrefetchLoader(val_loader, depth=prefetch)
 
         self.resume()
         start_epoch = int(self.state.step) // max(len(train_loader), 1)
