@@ -47,7 +47,8 @@ def make_batches(batch):
 
 
 def bench_dtype(
-    name, dtype, batches, remat=False, remat_backbone=False, accum=1, n=3
+    name, dtype, batches, remat=False, remat_backbone=False, accum=1,
+    augment=None, n=3,
 ):
     cfg = get_train_cfg_defaults()
     cfg.MODEL.TYPE = "DeepLabv3+"
@@ -65,7 +66,8 @@ def bench_dtype(
     state = TrainState.create(model, variables, tx, jax.random.PRNGKey(1))
 
     multi = make_multi_train_step(
-        num_classes=NCLS, steps=K, remat=remat, accum_steps=accum
+        num_classes=NCLS, steps=K, remat=remat, accum_steps=accum,
+        augment=augment,
     )
     run = jax.jit(multi).lower(state, batches).compile()
     state2, m = run(state, batches)
@@ -86,11 +88,13 @@ def bench_dtype(
     return ms
 
 
-def try_bench(name, dtype, batches, remat=False, remat_backbone=False, accum=1):
+def try_bench(name, dtype, batches, remat=False, remat_backbone=False,
+              accum=1, augment=None):
     try:
         return bench_dtype(
             name, dtype, batches,
             remat=remat, remat_backbone=remat_backbone, accum=accum,
+            augment=augment,
         )
     except Exception as e:  # noqa: BLE001 - OOM is an expected outcome
         print(f"{name}: failed ({type(e).__name__})", flush=True)
@@ -127,6 +131,26 @@ def main():
     try_bench(
         "b8 bf16 + REMAT + ACCUM=2", jnp.bfloat16, b8,
         remat_backbone=True, accum=2,
+    )
+
+    # TRAIN.DEVICE_AUGMENT: raw uint8 frames in, the whole RandomSizeAndCrop/
+    # flip/normalize chain inside the step (train/augment.py).  Source shape
+    # 720x960 (a typical dataset image); the row's delta vs the b8 bf16+REMAT
+    # row is the on-device augmentation cost (the HOST-pipeline cost it
+    # replaces — PIL decode/resample per sample — is off-device and the
+    # upload shrinks 4x besides).
+    from vision_semantic_segmentation_tpu.train.augment import make_device_augment
+
+    del b8
+    rng = np.random.default_rng(2)
+    raw = {
+        "image": jnp.asarray(rng.integers(0, 256, (K, 8, 720, 960, 3), np.uint8)),
+        "label": jnp.asarray(rng.integers(0, NCLS, (K, 8, 720, 960)).astype(np.int32)),
+    }
+    try_bench(
+        "b8 bf16 + REMAT + DEVICE_AUGMENT(720x960->513)", jnp.bfloat16, raw,
+        remat_backbone=True,
+        augment=make_device_augment(size=H, scale=(0.5, 2.0)),
     )
 
 
