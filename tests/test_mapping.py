@@ -779,6 +779,116 @@ class TestConfidenceWeightedUpdate:
         assert grid[2, r7, c7] == pytest.approx(1.7)
 
 
+class TestScatterFold:
+    """fold_method='scatter': per-cell evidence-vector deltas applied with
+    ONE unique-cell scatter instead of densifying a (C, gh*gw) observation
+    buffer and matmul-folding it — same update semantics on every path
+    (dedupe / accumulate / weighted / windowed), HBM traffic O(points)
+    instead of O(cells).  Numerics agree to f32 reassociation of <= C+1
+    addends per cell (the matmul and the segmented scan sum a cell's
+    observed-class evidence in different orders)."""
+
+    @pytest.mark.parametrize("semantics", ["reference", "accumulate"])
+    def test_step_matches_matmul(self, rng, semantics):
+        cfg = small_cfg()
+        pts, img, position, quaternion = make_frame(rng, cfg, n=2500)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+
+        def run(fold):
+            engine = SemanticMappingEngine(cfg, evidence=np.eye(5),
+                                           duplicate_semantics=semantics)
+            engine.fold_method = fold
+            grid, _, _ = engine.step(engine.init_grid(), pcd, valid, img,
+                                     position, quaternion)
+            return np.asarray(grid)
+
+        want = run("matmul")
+        got = run("scatter")
+        assert want.sum() > 0
+        # np.eye evidence + intensity boost => every delta visible
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    @pytest.mark.parametrize("semantics", ["reference", "accumulate"])
+    def test_weighted_matches_matmul(self, rng, semantics):
+        cfg = small_cfg()
+        cfg.MAPPING.POINT_BUCKET = 64
+        n = 64
+        cell_np = rng.integers(0, 100, n).astype(np.int32)
+        cls_np = rng.integers(0, 5, n).astype(np.int32)
+        inten_np = rng.uniform(0, 20, n).astype(np.float32)
+        upd_np = rng.random(n) < 0.8
+        w_np = rng.uniform(0.1, 1.0, n).astype(np.float32)
+
+        def run(fold):
+            engine = SemanticMappingEngine(cfg, evidence=np.eye(5),
+                                           duplicate_semantics=semantics)
+            engine.fold_method = fold
+            h, w = engine.grid_spec.height, engine.grid_spec.width
+            dense = engine._build_dense_update()
+            return np.asarray(dense(
+                engine.init_grid(), jnp.asarray(cell_np), jnp.asarray(cls_np),
+                jnp.asarray(inten_np), jnp.asarray(upd_np), h, w,
+                weights=jnp.asarray(w_np),
+            ))
+
+        want = run("matmul")
+        got = run("scatter")
+        assert want.sum() > 0
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_windowed_matches_matmul(self, rng):
+        cfg = small_cfg()
+        cfg.MAPPING.UPDATE_WINDOW = 200
+        x0 = 100 - PCD_ORIGIN_OFFSET[0]
+        y0 = 800 - PCD_ORIGIN_OFFSET[1]
+        res = cfg.MAPPING.RESOLUTION
+        snap = lambda v, lo: lo + (np.floor((v - lo) / res) + 0.5) * res
+        pts = np.vstack([
+            snap(rng.uniform(x0 + 10, x0 + 25, 2500), x0),
+            snap(rng.uniform(y0 + 12, y0 + 27, 2500), y0),
+            rng.uniform(-1, 0.5, 2500),
+            rng.uniform(0, 20, 2500),
+        ]).astype(np.float32)
+        _, img, position, quaternion = make_frame(rng, cfg, n=10)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+
+        def run(fold):
+            engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+            engine.fold_method = fold
+            grid, _, _ = engine.step(engine.init_grid(), pcd, valid, img,
+                                     position, quaternion)
+            return np.asarray(grid)
+
+        want = run("matmul")
+        got = run("scatter")
+        assert want.sum() > 0
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_empty_cloud_untouched(self, rng):
+        cfg = small_cfg()
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        engine.fold_method = "scatter"
+        _, img, position, quaternion = make_frame(rng, cfg, n=10)
+        pcd = np.zeros((4, cfg.MAPPING.POINT_BUCKET), np.float32)
+        valid = np.zeros(cfg.MAPPING.POINT_BUCKET, bool)
+        grid, _, _ = engine.step(engine.init_grid(), pcd, valid, img,
+                                 position, quaternion)
+        assert float(np.abs(np.asarray(grid)).sum()) == 0.0
+
+    def test_unknown_fold_method_raises(self):
+        engine = SemanticMappingEngine(small_cfg(), evidence=np.eye(5))
+        engine.fold_method = "telepathy"
+        with pytest.raises(ValueError, match="fold_method"):
+            engine._build_dense_update()
+
+    def test_scatter_rejects_pallas_fold(self):
+        engine = SemanticMappingEngine(small_cfg(), evidence=np.eye(5))
+        engine.fold_method = "scatter"
+        engine.use_pallas_fold = True
+        with pytest.raises(ValueError, match="scatter"):
+            engine._build_dense_update()
+
+
 class TestCarOverlayAndPoseNormal:
     """The reference's unwired diagnostic helpers, implemented + tested
     (ref mapping.py:490-526 'not tested, may have bug';

@@ -190,6 +190,17 @@ class SemanticMappingEngine:
         # until scripts/probe_radix_sort.py picks a winner on hardware).
         self.sort_method = "bitonic"
 
+        # Evidence-fold dataflow: 'matmul' (default) densifies per-key
+        # observations into a (C, gh*gw) buffer and folds with one MXU
+        # matmul; 'scatter' skips the dense buffer entirely — per-point
+        # evidence COLUMNS are segment-summed per CELL and one unique-cell
+        # scatter adds (C,)-vector deltas straight into the grid, so the
+        # update touches only the ~N hit cells instead of streaming
+        # C*gh*gw observation floats twice (opt-in until
+        # scripts/probe_update_breakdown.py picks a winner on hardware;
+        # numerics agree to f32 reassociation of <= C+1 addends per cell).
+        self.fold_method = "matmul"
+
         # One compiled step / sequence runner per (camera, pcd-frame)
         # combination — a fresh jax.jit wrapper per call would lose jit's
         # compilation cache and re-trace every chunk of a long replay
@@ -386,6 +397,17 @@ class SemanticMappingEngine:
         if self.sort_method not in ("bitonic", "radix"):
             raise ValueError(f"unknown sort_method {self.sort_method!r}")
         use_radix = self.sort_method == "radix"
+        if self.fold_method not in ("matmul", "scatter"):
+            raise ValueError(f"unknown fold_method {self.fold_method!r}")
+        use_scatter_fold = self.fold_method == "scatter"
+        if use_scatter_fold and use_pallas_fold:
+            raise ValueError(
+                "fold_method='scatter' bypasses the dense observation "
+                "buffer; it cannot combine with use_pallas_fold"
+            )
+        # rows indexed by OBSERVED class: row i is the additive evidence
+        # vector when class i is observed (evidence column i); host numpy
+        ev_rows = np.ascontiguousarray(self_evidence.T)
 
         def _sort_packed(packed, max_packed):
             if use_radix:
@@ -413,6 +435,65 @@ class SemanticMappingEngine:
 
             _, out = jax.lax.associative_scan(combine, (flags_first, values))
             return out
+
+        def _segmented_sum_vec(flags_first, values):
+            """Inclusive segmented cumsum of (N, C) rows over (N,) flags."""
+
+            def combine(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb[..., None], vb, va + vb)
+
+            _, summed = jax.lax.associative_scan(combine, (flags_first, values))
+            return summed
+
+        def _scatter_fold(grid, ksort, kvalid, obs_at_last, is_last,
+                          bstat_at_last, gh, gw):
+            """Fold evidence by scattering per-CELL delta vectors.
+
+            ``obs_at_last`` carries each (cell, class) segment's observation
+            total at its last sorted element (1 for dedupe, counts/weights
+            otherwise); ``bstat_at_last`` (or None) the lane-boost statistic
+            at the same positions.  The (cell, class) hit becomes the
+            evidence COLUMN of its class scaled by the total; summing those
+            rows per CELL segment gives the cell's (C,) grid delta, applied
+            with ONE unique-index scatter onto the planar grid — no
+            (C, gh*gw) densify, no full-grid matmul/add pass: HBM traffic
+            is O(points), not O(cells).
+            """
+            n = ksort.shape[0]
+            arange_n = jnp.arange(n)
+            cls_s = ksort % num_cls
+            cell_s = ksort // num_cls
+            # observed-class -> evidence-column row; num_cls selects the
+            # all-zero row one_hot produces for masked-out positions
+            sel = jnp.where(is_last & kvalid, cls_s, num_cls)
+            rows = jax.nn.one_hot(sel, num_cls, dtype=grid.dtype)
+            vals = jnp.matmul(
+                rows * obs_at_last[:, None].astype(grid.dtype),
+                ev_rows.astype(grid.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if bstat_at_last is not None:
+                lane_pos = is_last & kvalid & (cls_s == lane)
+                vals = vals.at[:, lane].add(
+                    jnp.where(lane_pos, 2.0 * bstat_at_last, 0.0)
+                )
+            # keys sort cell-major, so cell segments are contiguous; the
+            # sentinel tail lands in its own cell (gh*gw)
+            is_first_cell = jnp.concatenate(
+                [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]]
+            )
+            is_last_cell = jnp.concatenate(
+                [cell_s[:-1] != cell_s[1:], jnp.ones((1,), bool)]
+            )
+            totals = _segmented_sum_vec(is_first_cell, vals)
+            cidx = jnp.where(is_last_cell & kvalid, cell_s, gh * gw + arange_n)
+            gflat = grid.reshape(num_cls, gh * gw)
+            gflat = gflat.at[:, cidx].add(
+                totals.T, mode="drop", unique_indices=True
+            )
+            return gflat.reshape(num_cls, gh, gw)
 
         def _dense_update_dedupe_fast(grid, cell, cls, intensity, upd, gh, gw):
             """The default-path update without argsort or segmented scans.
@@ -443,6 +524,15 @@ class SemanticMappingEngine:
             ksort = psort // 2
             kvalid = ksort < sentinel
             is_last = jnp.concatenate([ksort[:-1] != ksort[1:], jnp.ones((1,), bool)])
+
+            if use_scatter_fold:
+                # segment-last carries max(boost) == ANY(boost): within
+                # equal keys the packed sort orders boost=1 last
+                bstat = (psort % 2).astype(grid.dtype) if use_intensity else None
+                return _scatter_fold(
+                    grid, ksort, kvalid, jnp.ones_like(ksort, grid.dtype),
+                    is_last, bstat, gh, gw,
+                )
 
             n = ksort.shape[0]
             arange_n = jnp.arange(n)
@@ -520,6 +610,21 @@ class SemanticMappingEngine:
                 # per-point accumulation: per-key counts via segmented scan
                 counts = _segmented_sum(is_first, kvalid.astype(grid.dtype))
                 obs_at_last = counts
+
+            if use_scatter_fold:
+                bstat = None
+                if use_intensity:
+                    boost = upd & (cls == lane) & (
+                        (intensity < 2) | (intensity > 14)
+                    )
+                    bstat = _segmented_sum(
+                        is_first, boost[order].astype(grid.dtype)
+                    )
+                    if dedupe:
+                        bstat = jnp.minimum(bstat, 1.0)
+                return _scatter_fold(
+                    grid, ksort, kvalid, obs_at_last, is_last, bstat, gh, gw
+                )
 
             n = ksort.shape[0]
             arange_n = jnp.arange(n)
