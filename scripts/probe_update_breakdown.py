@@ -146,6 +146,33 @@ def main() -> None:
 
     t_full = timed(f_full, engine.init_grid(), "full")
 
+    # ---- fold_method='scatter': no dense obs buffer, no grid-wide pass --
+    engine_sc = SemanticMappingEngine(cfg, evidence=np.eye(5))
+    engine_sc.fold_method = "scatter"
+    dense_update_sc = engine_sc._build_dense_update()
+
+    def f_full_sc(grid, cell):
+        return dense_update_sc(grid, cell, cls, intensity, upd, h, w), cell
+
+    t_full_sc = timed(f_full_sc, engine_sc.init_grid(), "full_scatter")
+
+    # ---- weighted (general) path, both folds ----
+    weights = jnp.asarray(rng.uniform(0.1, 1.0, n).astype(np.float32))
+
+    def f_weighted(grid, cell):
+        return dense_update(
+            grid, cell, cls, intensity, upd, h, w, weights=weights
+        ), cell
+
+    t_weighted = timed(f_weighted, engine.init_grid(), "weighted")
+
+    def f_weighted_sc(grid, cell):
+        return dense_update_sc(
+            grid, cell, cls, intensity, upd, h, w, weights=weights
+        ), cell
+
+    t_weighted_sc = timed(f_weighted_sc, engine_sc.init_grid(), "weighted_scatter")
+
     print(json.dumps({
         "grid": [h, w], "points": n, "window": window,
         "sort_ms": t_sort,
@@ -153,6 +180,9 @@ def main() -> None:
         "sort_scatter_ms": t_scatter,
         "matmul_add_ms": t_matmul,
         "full_dense_update_ms": t_full,
+        "full_dense_update_scatter_fold_ms": t_full_sc,
+        "weighted_update_ms": t_weighted,
+        "weighted_update_scatter_fold_ms": t_weighted_sc,
         "device": jax.devices()[0].device_kind,
     }))
 
