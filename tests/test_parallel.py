@@ -89,13 +89,14 @@ class TestDataParallelTrainStep:
 
 
 class TestShardedGrid:
-    def _run_pair(self, rng, cfg, semantics, devices, n=2000):
+    def _run_pair(self, rng, cfg, semantics, devices, n=2000, fold="matmul"):
         """Run the same frame through engine.step and the sharded step."""
         from test_mapping import make_frame
 
         engine = SemanticMappingEngine(
             cfg, evidence=np.eye(5), duplicate_semantics=semantics
         )
+        engine.fold_method = fold
         pts, img, position, quaternion = make_frame(rng, cfg, n=n)
         pcd_pad, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
 
@@ -117,6 +118,19 @@ class TestShardedGrid:
         from test_mapping import small_cfg
 
         got, want = self._run_pair(rng, small_cfg(), semantics, devices)
+        assert want.sum() > 0
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("semantics", ["accumulate", "reference"])
+    def test_scatter_fold_matches_unsharded(self, rng, devices, semantics):
+        """fold_method='scatter' propagates through the sharded per-band
+        update (grid_shard builds from engine._build_dense_update) and
+        still equals the unsharded matmul-fold engine."""
+        from test_mapping import small_cfg
+
+        got, want = self._run_pair(
+            rng, small_cfg(), semantics, devices, fold="scatter"
+        )
         assert want.sum() > 0
         np.testing.assert_allclose(got, want, atol=1e-4)
 
