@@ -413,6 +413,51 @@ class TestFrameParallelReplay:
             np.asarray(grid_fp), np.asarray(grid_seq), rtol=1e-5, atol=1e-5
         )
 
+    def test_scatter_fold_matches_sequential(self, rng, devices):
+        """fold_method='scatter' propagates through the frame-parallel
+        per-device update (built from engine._build_update) and matches a
+        sequential MATMUL-fold replay — the full cross-fold equality."""
+        from test_mapping import make_frame
+        from test_runtime import small_cfg
+        from vision_semantic_segmentation_tpu.mapping.engine import pad_points
+        from vision_semantic_segmentation_tpu.parallel.frame_parallel import (
+            make_frame_parallel_run,
+            stack_frames,
+        )
+        from vision_semantic_segmentation_tpu.runtime.io import FrameRecord
+
+        cfg = small_cfg()
+        cfg.MAPPING.POINT_BUCKET = 2048
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+
+        frames = []
+        for i in range(8):
+            pts, img, position, quaternion = make_frame(rng, cfg, n=1200)
+            frames.append(
+                FrameRecord(
+                    pcd=pts, pcd_frame_id="world", semantic_image=img,
+                    position=position, quaternion=quaternion, stamp=float(i),
+                )
+            )
+
+        grid_seq = engine.init_grid()
+        for f in frames:
+            pcd, valid = pad_points(f.pcd, cfg.MAPPING.POINT_BUCKET)
+            grid_seq, _, _ = engine.step(
+                grid_seq, pcd, valid, f.semantic_image, f.position, f.quaternion
+            )
+
+        engine_sc = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        engine_sc.fold_method = "scatter"
+        mesh = create_mesh(axis_names=("data",), devices=devices)
+        run = make_frame_parallel_run(engine_sc, mesh)
+        stacked = stack_frames(engine_sc, frames, mesh)
+        grid_fp = run(engine_sc.init_grid(), *stacked)
+
+        np.testing.assert_allclose(
+            np.asarray(grid_fp), np.asarray(grid_seq), rtol=1e-5, atol=1e-5
+        )
+
     def test_windowed_matches_sequential_windowed(self, rng, devices):
         """MAPPING.UPDATE_WINDOW is honored inside the frame-parallel scan:
         each device's per-frame update runs on a pose-centered slab of its
