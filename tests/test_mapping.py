@@ -881,6 +881,24 @@ class TestScatterFold:
         with pytest.raises(ValueError, match="fold_method"):
             engine._build_dense_update()
 
+    def test_backends_configurable(self, rng):
+        """MAPPING.SORT_METHOD / MAPPING.FOLD_METHOD reach the engine."""
+        cfg = small_cfg()
+        cfg.MAPPING.SORT_METHOD = "radix"
+        cfg.MAPPING.FOLD_METHOD = "scatter"
+        engine = SemanticMappingEngine(cfg, evidence=np.eye(5))
+        assert engine.sort_method == "radix"
+        assert engine.fold_method == "scatter"
+        # and the combination actually runs + matches the defaults
+        pts, img, position, quaternion = make_frame(rng, cfg, n=800)
+        pcd, valid = pad_points(pts, cfg.MAPPING.POINT_BUCKET)
+        got, _, _ = engine.step(engine.init_grid(), pcd, valid, img,
+                                position, quaternion)
+        base = SemanticMappingEngine(small_cfg(), evidence=np.eye(5))
+        want, _, _ = base.step(base.init_grid(), pcd, valid, img,
+                               position, quaternion)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
     def test_scatter_rejects_pallas_fold(self):
         engine = SemanticMappingEngine(small_cfg(), evidence=np.eye(5))
         engine.fold_method = "scatter"

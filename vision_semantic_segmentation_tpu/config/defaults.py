@@ -55,6 +55,13 @@ _C.MAPPING.GRID_SHARDS = 1
 # very large grids a pose-centered window makes the update cost
 # independent of grid size; size it >= ~2.2 * PCD.RANGE_MAX / RESOLUTION.
 _C.MAPPING.UPDATE_WINDOW = 0
+# Grid-update backends (mapping/engine.py; both parity-pinned pairwise):
+# SORT_METHOD 'bitonic' (XLA jnp.sort) | 'radix' (ops/sort.py LSD passes);
+# FOLD_METHOD 'matmul' (dense observation buffer + MXU evidence fold) |
+# 'scatter' (per-cell evidence vectors, one unique-cell scatter —
+# O(points) HBM traffic instead of O(cells)).
+_C.MAPPING.SORT_METHOD = "bitonic"
+_C.MAPPING.FOLD_METHOD = "matmul"
 
 _C.VISION_SEM_SEG = CN()
 _C.VISION_SEM_SEG.IMAGE_SCALE = 1.0

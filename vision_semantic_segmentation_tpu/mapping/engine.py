@@ -188,7 +188,7 @@ class SemanticMappingEngine:
         # (default, XLA's jnp.sort) or 'radix' (ops/sort.py — O(n) LSD
         # passes instead of the O(n log^2 n) bitonic network; opt-in
         # until scripts/probe_radix_sort.py picks a winner on hardware).
-        self.sort_method = "bitonic"
+        self.sort_method = str(getattr_cfg(cfg, "MAPPING.SORT_METHOD", "bitonic"))
 
         # Evidence-fold dataflow: 'matmul' (default) densifies per-key
         # observations into a (C, gh*gw) buffer and folds with one MXU
@@ -199,7 +199,7 @@ class SemanticMappingEngine:
         # C*gh*gw observation floats twice (opt-in until
         # scripts/probe_update_breakdown.py picks a winner on hardware;
         # numerics agree to f32 reassociation of <= C+1 addends per cell).
-        self.fold_method = "matmul"
+        self.fold_method = str(getattr_cfg(cfg, "MAPPING.FOLD_METHOD", "matmul"))
 
         # One compiled step / sequence runner per (camera, pcd-frame)
         # combination — a fresh jax.jit wrapper per call would lose jit's
