@@ -320,3 +320,46 @@ class TestReplayFrameParallel:
         # identical rendered maps (f32 re-association cannot flip the
         # argmax colors on this fixture)
         np.testing.assert_array_equal(a, b)
+
+
+class TestUpdateBackendKnobs:
+    def test_replay_cli_scatter_radix_matches_defaults(self, rng, tmp_path):
+        """MAPPING.SORT_METHOD/FOLD_METHOD flow YAML -> CLI replay -> engine:
+        the radix+scatter map renders identically to the default backends."""
+        import glob
+
+        import cv2
+        import numpy as np
+
+        from test_runtime import small_cfg, _make_sequence
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.runtime.io import save_frames
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        input_dir = tmp_path / "inputs"
+        input_dir.mkdir(parents=True, exist_ok=True)
+        save_frames(
+            _make_sequence(rng, cfg, n_frames=4, n_pts=900),
+            str(input_dir / "seq.npz"),
+        )
+        cfg_path = str(tmp_path / "default.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.dump())
+        main(["replay", "--cfg", cfg_path, "--input-dir", str(input_dir)])
+        a_path = sorted(glob.glob(
+            str(tmp_path / "out" / "**" / "global_map_seq.png"), recursive=True
+        ))[-1]
+        a = cv2.imread(a_path)
+
+        cfg.MAPPING.SORT_METHOD = "radix"
+        cfg.MAPPING.FOLD_METHOD = "scatter"
+        cfg_path2 = str(tmp_path / "backends.yaml")
+        with open(cfg_path2, "w") as f:
+            f.write(cfg.dump())
+        main(["replay", "--cfg", cfg_path2, "--input-dir", str(input_dir)])
+        b_path = sorted(glob.glob(
+            str(tmp_path / "out" / "**" / "global_map_seq.png"), recursive=True
+        ))[-1]
+        assert b_path != a_path
+        np.testing.assert_array_equal(cv2.imread(b_path), a)
