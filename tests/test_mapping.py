@@ -642,7 +642,12 @@ class TestDistortedProjection:
         yd = yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
         u = cam.K[0, 0] * xd + cam.K[0, 2]
         v = cam.K[1, 1] * yd + cam.K[1, 2]
-        iu, iv = u.astype(np.int32), v.astype(np.int32)
+        # points behind the camera divide by ~0 -> inf/nan pixels; they are
+        # masked by `front` below, so cast them to a harmless sentinel
+        # instead of tripping numpy's invalid-cast warning
+        finite = np.isfinite(u) & np.isfinite(v)
+        iu = np.where(finite, u, -1.0).astype(np.int32)
+        iv = np.where(finite, v, -1.0).astype(np.int32)
         front = (velo[0] > 0) & (velo[0] < cfg.MAPPING.PCD.RANGE_MAX)
         in_img = (iu >= 0) & (iu < 1920) & (iv >= 0) & (iv < 1440)
         n = pts.shape[1]
