@@ -886,6 +886,71 @@ class TestScatterFold:
         with pytest.raises(ValueError, match="fold_method"):
             engine._build_dense_update()
 
+    @pytest.mark.parametrize("semantics", ["reference", "accumulate"])
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_fuzz_both_folds_vs_numpy(self, semantics, weighted):
+        """Duplicates-heavy fuzz: 6 seeds x tiny grid, both fold backends
+        vs an independent numpy model of the update semantics (dedupe /
+        accumulate x unweighted / weighted, lane boost included)."""
+        cfg = small_cfg()
+        cfg.MAPPING.BOUNDARY = [[100, 101], [800, 801]]  # 10x10 cells
+        cfg.MAPPING.POINT_BUCKET = 64
+        E = np.arange(25, dtype=np.float32).reshape(5, 5) / 10.0
+
+        for seed in range(6):
+            r = np.random.default_rng(seed)
+            n = 64
+            cell_np = r.integers(0, 100, n).astype(np.int32)
+            cls_np = r.integers(0, 5, n).astype(np.int32)
+            inten_np = r.uniform(0, 20, n).astype(np.float32)
+            upd_np = r.random(n) < 0.8
+            w_np = (r.uniform(0.1, 1.0, n).astype(np.float32)
+                    if weighted else None)
+
+            # independent numpy model (ref mapping.py:414-437 semantics)
+            engines = {}
+            for fold in ("matmul", "scatter"):
+                eng = SemanticMappingEngine(
+                    cfg, evidence=E, duplicate_semantics=semantics
+                )
+                eng.fold_method = fold
+                engines[fold] = eng
+            h, w = engines["matmul"].grid_spec.height, \
+                engines["matmul"].grid_spec.width
+            lane = engines["matmul"].lane_channel
+            obs = {}
+            boost = {}
+            for i in range(n):
+                if not upd_np[i]:
+                    continue
+                k = (int(cell_np[i]), int(cls_np[i]))
+                wgt = 1.0 if w_np is None else float(w_np[i])
+                if semantics == "reference":
+                    obs[k] = max(obs.get(k, 0.0), wgt) if w_np is not None else 1.0
+                else:
+                    obs[k] = obs.get(k, 0.0) + wgt
+                if cls_np[i] == lane and (inten_np[i] < 2 or inten_np[i] > 14):
+                    boost[k[0]] = boost.get(k[0], 0.0) + 1.0
+            want = np.zeros((5, h, w), np.float64)
+            for (c_idx, k_cls), o in obs.items():
+                want[:, c_idx // w, c_idx % w] += E[:, k_cls] * o
+            for c_idx, b in boost.items():
+                if semantics == "reference":
+                    b = min(b, 1.0)
+                want[lane, c_idx // w, c_idx % w] += 2.0 * b
+
+            for fold, eng in engines.items():
+                dense = eng._build_dense_update()
+                got = np.asarray(dense(
+                    eng.init_grid(), jnp.asarray(cell_np), jnp.asarray(cls_np),
+                    jnp.asarray(inten_np), jnp.asarray(upd_np), h, w,
+                    weights=None if w_np is None else jnp.asarray(w_np),
+                ))
+                np.testing.assert_allclose(
+                    got, want, atol=1e-5,
+                    err_msg=f"fold={fold} seed={seed}",
+                )
+
     def test_backends_configurable(self, rng):
         """MAPPING.SORT_METHOD / MAPPING.FOLD_METHOD reach the engine."""
         cfg = small_cfg()
