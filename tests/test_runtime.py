@@ -1,6 +1,7 @@
 """Runtime tests: bus sync semantics, frame IO, replay, node pipeline E2E."""
 import numpy as np
 import jax
+import pytest
 
 from vision_semantic_segmentation_tpu.config import get_cfg_defaults
 from vision_semantic_segmentation_tpu.mapping import SemanticMappingEngine
@@ -627,3 +628,89 @@ class TestConfidenceHead:
         assert np.all(conf > 0) and np.all(conf <= 1.0 + 1e-6)
         # argmax class probability is at least uniform
         assert np.all(conf >= 1.0 / 19 - 1e-6)
+
+
+class TestGridCheckpoint:
+    """Grid checkpoint/resume (engine.save_grid/load_grid + replay
+    init_grid): evidence is additive, so split replays compose exactly.
+    No reference equivalent — its log-odds map dies with the process and
+    only RENDERED maps stitch post-hoc (ref stitching)."""
+
+    def test_split_replay_equals_oneshot(self, rng, tmp_path):
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        frames = _make_sequence(rng, cfg, n_frames=8, n_pts=900)
+        replay = MappingReplay(cfg)
+
+        oneshot = np.asarray(replay.run_frames(frames, window=4))
+
+        grid_a = replay.run_frames(frames[:4], window=4)
+        ckpt = tmp_path / "grid.npz"
+        replay.engine.save_grid(str(ckpt), grid_a)
+        loaded = replay.engine.load_grid(str(ckpt))
+        split = np.asarray(replay.run_frames(frames[4:], window=4,
+                                             init_grid=loaded))
+        np.testing.assert_array_equal(split, oneshot)
+
+    def test_frame_parallel_resume_adds_once(self, rng, tmp_path):
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        frames = _make_sequence(rng, cfg, n_frames=8, n_pts=900)
+        replay = MappingReplay(cfg)
+        base = replay.run_frames(frames[:4], window=4)
+        want = np.asarray(base) + np.asarray(
+            replay.run_frames_parallel(frames[4:])
+        )
+        got = np.asarray(replay.run_frames_parallel(frames[4:],
+                                                    init_grid=base))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_load_rejects_mismatched_geometry(self, rng, tmp_path):
+        cfg = small_cfg(tmp_path)
+        engine = SemanticMappingEngine(cfg)
+        ckpt = tmp_path / "grid.npz"
+        engine.save_grid(str(ckpt), engine.init_grid())
+
+        other = get_cfg_defaults()
+        other.MAPPING.BOUNDARY = [[100, 150], [800, 840]]
+        with pytest.raises(ValueError, match="does not match"):
+            SemanticMappingEngine(other).load_grid(str(ckpt))
+
+    def test_cli_incremental_route(self, rng, tmp_path):
+        """replay --save-grid then --resume-grid across two input dirs ==
+        one-shot replay of all frames (identical rendered map)."""
+        import cv2
+        import glob
+
+        from vision_semantic_segmentation_tpu.__main__ import main
+
+        cfg = small_cfg(tmp_path)
+        cfg.MAPPING.POINT_BUCKET = 2048
+        frames = _make_sequence(rng, cfg, n_frames=8, n_pts=900)
+
+        dir_all = tmp_path / "all"; dir_all.mkdir()
+        dir_a = tmp_path / "a"; dir_a.mkdir()
+        dir_b = tmp_path / "b"; dir_b.mkdir()
+        save_frames(frames, str(dir_all / "seq.npz"))
+        save_frames(frames[:4], str(dir_a / "seq.npz"))
+        save_frames(frames[4:], str(dir_b / "seq.npz"))
+        cfg_path = str(tmp_path / "exp.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.dump())
+
+        main(["replay", "--cfg", cfg_path, "--input-dir", str(dir_all)])
+        oneshot_png = sorted(glob.glob(
+            str(tmp_path / "out" / "**" / "global_map_seq.png"), recursive=True
+        ))[-1]
+        oneshot = cv2.imread(oneshot_png)
+
+        ckpt = str(tmp_path / "route.npz")
+        main(["replay", "--cfg", cfg_path, "--input-dir", str(dir_a),
+              "--save-grid", ckpt])
+        main(["replay", "--cfg", cfg_path, "--input-dir", str(dir_b),
+              "--resume-grid", ckpt, "--save-grid", ckpt])
+        combined_png = sorted(glob.glob(
+            str(tmp_path / "out" / "**" / "global_map_combined.png"),
+            recursive=True,
+        ))[-1]
+        np.testing.assert_array_equal(cv2.imread(combined_png), oneshot)

@@ -35,7 +35,10 @@ def cmd_replay(args):
         cfg.MAPPING.INPUT_DIR = args.input_dir
     MappingReplay(
         cfg, frame_parallel=getattr(args, "frame_parallel", False)
-    ).replay_dir()
+    ).replay_dir(
+        resume_grid=getattr(args, "resume_grid", None) or None,
+        save_grid=getattr(args, "save_grid", None) or None,
+    )
 
 
 def cmd_pipeline(args):
@@ -324,6 +327,15 @@ def main(argv=None):
     p.add_argument(
         "--frame-parallel", action="store_true",
         help="fuse frames data-parallel across all devices (one psum)",
+    )
+    p.add_argument(
+        "--resume-grid", default="", metavar="NPZ",
+        help="seed the evidence grid from a checkpoint (threads ONE grid "
+             "through all input files -> a single combined map)",
+    )
+    p.add_argument(
+        "--save-grid", default="", metavar="NPZ",
+        help="checkpoint the evidence grid after the last input file",
     )
     p.set_defaults(fn=cmd_replay)
 

@@ -225,6 +225,45 @@ class SemanticMappingEngine:
         """Planar device grid -> reference (H, W, C) numpy layout."""
         return np.moveaxis(np.asarray(grid), 0, -1)
 
+    # -- grid checkpointing ---------------------------------------------------
+    # The reference's log-odds map lives and dies with the process (its
+    # stitcher merges RENDERED maps post-hoc, stitching.py); here the raw
+    # evidence grid checkpoints to .npz so long routes map incrementally
+    # across sessions — the mapping counterpart of train AUTO_RESUME.
+    def save_grid(self, path: str, grid) -> None:
+        """Checkpoint the evidence grid + its geometry to ``path`` (.npz)."""
+        spec = self.grid_spec
+        np.savez_compressed(
+            path,
+            grid=np.asarray(grid, dtype=np.float32),
+            boundary=np.asarray(spec.boundary, dtype=np.float64),
+            resolution=np.float64(spec.resolution),
+            label_names=np.asarray(self.label_names),
+        )
+
+    def load_grid(self, path: str) -> Array:
+        """Load a :meth:`save_grid` checkpoint; validates geometry/labels."""
+        with np.load(path, allow_pickle=False) as z:
+            spec = self.grid_spec
+            boundary = z["boundary"].tolist()
+            resolution = float(z["resolution"])
+            labels = [str(s) for s in z["label_names"]]
+            want_shape = (spec.num_classes, spec.height, spec.width)
+            if (
+                z["grid"].shape != want_shape
+                or boundary != [list(b) for b in spec.boundary]
+                or resolution != spec.resolution
+                or labels != self.label_names
+            ):
+                raise ValueError(
+                    f"grid checkpoint {path!r} does not match this engine: "
+                    f"ckpt grid {z['grid'].shape} boundary {boundary} "
+                    f"res {resolution} labels {labels} vs engine "
+                    f"{want_shape} {spec.boundary} {spec.resolution} "
+                    f"{self.label_names}"
+                )
+            return jnp.asarray(z["grid"])
+
     # -- fused frame step ----------------------------------------------------
     def _build_pointwise(
         self,

@@ -105,7 +105,8 @@ class MappingReplay:
         }
 
     def run_frames(
-        self, frames: Sequence[FrameRecord], window: int = 8, prefetch: bool = True
+        self, frames: Sequence[FrameRecord], window: int = 8,
+        prefetch: bool = True, init_grid=None,
     ):
         """Fuse a frame sequence into a fresh grid; returns the device grid.
 
@@ -114,13 +115,15 @@ class MappingReplay:
         irregular falls back to per-frame steps.  With ``prefetch`` the
         next window is padded/stacked/staged to HBM on a worker thread
         while the device fuses the current one (host double-buffering,
-        SURVEY.md section 7 "host/device pipelining").
+        SURVEY.md section 7 "host/device pipelining").  ``init_grid``
+        resumes from a checkpointed grid (engine.load_grid) instead of a
+        fresh one — evidence is additive, so split replays compose exactly.
         """
         if self.grid_shards > 1:
-            return self._run_frames_grid_sharded(frames)
+            return self._run_frames_grid_sharded(frames, init_grid=init_grid)
 
         engine = self.engine
-        grid = engine.init_grid()
+        grid = engine.init_grid() if init_grid is None else jnp.asarray(init_grid)
         bucket = engine.point_bucket
         chunks = list(self._chunk_frames(frames, window))
 
@@ -155,7 +158,8 @@ class MappingReplay:
                 grid = dispatch(grid, chunk, staged)
         return grid
 
-    def _run_frames_grid_sharded(self, frames: Sequence[FrameRecord]):
+    def _run_frames_grid_sharded(self, frames: Sequence[FrameRecord],
+                                 init_grid=None):
         """Sequential replay with the grid row-sharded over ('grid',).
 
         MAPPING.GRID_SHARDS devices each keep one row band HBM-resident
@@ -177,6 +181,10 @@ class MappingReplay:
         )
         engine = self.engine
         grid = init_sharded_grid(engine, mesh)
+        if init_grid is not None:
+            # resume: lay the checkpointed grid out with the same row-band
+            # sharding a fresh one gets
+            grid = jax.device_put(np.asarray(init_grid), grid.sharding)
         steps = {}
         for f in frames:
             key = (f.camera, f.pcd_frame_id == "velodyne")
@@ -201,6 +209,7 @@ class MappingReplay:
         frames: Sequence[FrameRecord],
         mesh=None,
         axis: str = "data",
+        init_grid=None,
     ):
         """Fuse a homogeneous frame sequence data-parallel over a mesh.
 
@@ -247,15 +256,21 @@ class MappingReplay:
                 camera=frames[0].camera, pcd_in_velodyne_frame=velodyne,
             )
             stacked = stack_frames(self.engine, frames, mesh2d, axis=axis)
-            return run(init_sharded_grid(self.engine, mesh2d), *stacked)
-        if mesh is None:
-            mesh = create_mesh(axis_names=(axis,), devices=jax.devices())
-        run = make_frame_parallel_run(
-            self.engine, mesh, axis=axis, camera=frames[0].camera,
-            pcd_in_velodyne_frame=velodyne,
-        )
-        stacked = stack_frames(self.engine, frames, mesh, axis=axis)
-        return run(self.engine.init_grid(), *stacked)
+            out = run(init_sharded_grid(self.engine, mesh2d), *stacked)
+        else:
+            if mesh is None:
+                mesh = create_mesh(axis_names=(axis,), devices=jax.devices())
+            run = make_frame_parallel_run(
+                self.engine, mesh, axis=axis, camera=frames[0].camera,
+                pcd_in_velodyne_frame=velodyne,
+            )
+            stacked = stack_frames(self.engine, frames, mesh, axis=axis)
+            out = run(self.engine.init_grid(), *stacked)
+        if init_grid is not None:
+            # evidence is additive: resuming == adding the checkpointed
+            # grid once OUTSIDE the psum (inside it would count N_dev times)
+            out = out + jax.device_put(np.asarray(init_grid), out.sharding)
+        return out
 
     def finalize(self, grid, name: str = "", use_pallas: Optional[bool] = None) -> np.ndarray:
         """Smooth + render + save + evaluate (ref mapping_replay.py:194-211).
@@ -299,7 +314,7 @@ class MappingReplay:
         cv2.imwrite(path, array)
 
     # -- entry points (ref :146-172) -----------------------------------------
-    def replay_file(self, path: str) -> np.ndarray:
+    def replay_file(self, path: str, init_grid=None, return_grid: bool = False):
         name = osp.splitext(osp.basename(path))[0]
         self.logger.log(f"Loading input file {path}")
         if path.endswith(".npz"):
@@ -311,16 +326,46 @@ class MappingReplay:
             if frames else False
         )
         if self.frame_parallel and homogeneous:
-            grid = self.run_frames_parallel(frames)
+            grid = self.run_frames_parallel(frames, init_grid=init_grid)
         else:
-            grid = self.run_frames(frames)
+            grid = self.run_frames(frames, init_grid=init_grid)
+        if return_grid:
+            return grid
         return self.finalize(grid, name)
 
-    def replay_dir(self, input_dir: Optional[str] = None) -> List[np.ndarray]:
+    def replay_dir(
+        self,
+        input_dir: Optional[str] = None,
+        resume_grid: Optional[str] = None,
+        save_grid: Optional[str] = None,
+    ) -> List[np.ndarray]:
+        """Replay every sequence file in ``input_dir``.
+
+        Default: one fresh grid and one rendered map PER FILE (the
+        reference's per-recording behavior).  With ``resume_grid`` and/or
+        ``save_grid``, ONE grid threads through all files in order —
+        seeded from the ``resume_grid`` checkpoint, saved to ``save_grid``
+        after the last file — and a single combined map renders: long
+        routes map incrementally across sessions (evidence is additive,
+        so split replays compose exactly; pinned in tests/test_runtime.py).
+        """
         input_dir = input_dir or self.input_dir
+        continuous = resume_grid is not None or save_grid is not None
         maps = []
-        for path in iter_sequence_files(input_dir):
-            maps.append(self.replay_file(path))
+        if continuous:
+            grid = self.engine.load_grid(resume_grid) if resume_grid else None
+            seen = False
+            for path in iter_sequence_files(input_dir):
+                seen = True
+                grid = self.replay_file(path, init_grid=grid, return_grid=True)
+            if seen:
+                if save_grid:
+                    self.engine.save_grid(save_grid, grid)
+                    self.logger.log(f"Saved grid checkpoint to {save_grid}")
+                maps.append(self.finalize(grid, "combined"))
+        else:
+            for path in iter_sequence_files(input_dir):
+                maps.append(self.replay_file(path))
         if not maps:
             # a typo'd MAPPING.INPUT_DIR should not be a silent success
             print(
