@@ -499,15 +499,17 @@ def main(quick: bool = False) -> None:
     ``skipped`` record but can never lose the artifact.
     """
     if quick:
-        out = {}
-        try:
-            out.update(run_headline(True))
-        except Exception as exc:  # noqa: BLE001
-            out.update({
+        # same subprocess box as the heavy stages: a dead tunnel hangs
+        # backend INIT (no exception to catch), so in-process try/except
+        # alone cannot guarantee the JSON line
+        out = _stage_with_retry("--stage-quick", time.monotonic() + 1200.0)
+        if "skipped" in out:
+            out = {
                 "metric": "e2e_frames_per_sec_512x768_seg_plus_fusion",
                 "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
-                "error": f"{type(exc).__name__}: {exc}"[:400],
-            })
+                "error": out.get("skipped", "quick stage failed"),
+                "progress": out.get("progress", "") or out.get("tail", ""),
+            }
         print(json.dumps(out))
         return
 
@@ -518,7 +520,7 @@ def main(quick: bool = False) -> None:
             "metric": "e2e_frames_per_sec_1440x1920_seg_plus_fusion",
             "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
             "error": out.get("skipped", "headline stage failed"),
-            "progress": out.get("progress", ""),
+            "progress": out.get("progress", "") or out.get("tail", ""),
         }
     out["fullroute"] = _stage_with_retry("--stage-fullroute", deadline)
     print(json.dumps(out))
@@ -531,5 +533,7 @@ if __name__ == "__main__":
         print(json.dumps(run_fullroute()))
     elif "--stage-headline" in sys.argv:
         print(json.dumps(run_headline(False)))
+    elif "--stage-quick" in sys.argv:
+        print(json.dumps(run_headline(True)))
     else:
         main(quick="--quick" in sys.argv)

@@ -651,6 +651,11 @@ class TestGridCheckpoint:
         split = np.asarray(replay.run_frames(frames[4:], window=4,
                                              init_grid=loaded))
         np.testing.assert_array_equal(split, oneshot)
+        # the dispatch donates its grid buffer — run_frames must COPY the
+        # caller's checkpoint, so the same loaded array resumes again
+        again = np.asarray(replay.run_frames(frames[4:], window=4,
+                                             init_grid=loaded))
+        np.testing.assert_array_equal(again, oneshot)
 
     def test_frame_parallel_resume_adds_once(self, rng, tmp_path):
         cfg = small_cfg(tmp_path)

@@ -22,6 +22,7 @@ reference achieves by single-threaded numpy.
 from __future__ import annotations
 
 import dataclasses
+import os.path as osp
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -230,8 +231,15 @@ class SemanticMappingEngine:
     # stitcher merges RENDERED maps post-hoc, stitching.py); here the raw
     # evidence grid checkpoints to .npz so long routes map incrementally
     # across sessions — the mapping counterpart of train AUTO_RESUME.
-    def save_grid(self, path: str, grid) -> None:
-        """Checkpoint the evidence grid + its geometry to ``path`` (.npz)."""
+    def save_grid(self, path: str, grid) -> str:
+        """Checkpoint the evidence grid + its geometry to ``path`` (.npz).
+
+        Returns the path actually written (np.savez appends '.npz' when
+        missing — normalize up front so a later load with the same string
+        finds the file).
+        """
+        if not path.endswith(".npz"):
+            path += ".npz"
         spec = self.grid_spec
         np.savez_compressed(
             path,
@@ -240,9 +248,12 @@ class SemanticMappingEngine:
             resolution=np.float64(spec.resolution),
             label_names=np.asarray(self.label_names),
         )
+        return path
 
     def load_grid(self, path: str) -> Array:
         """Load a :meth:`save_grid` checkpoint; validates geometry/labels."""
+        if not path.endswith(".npz") and not osp.exists(path):
+            path += ".npz"
         with np.load(path, allow_pickle=False) as z:
             spec = self.grid_spec
             boundary = z["boundary"].tolist()
@@ -456,12 +467,18 @@ class SemanticMappingEngine:
             return jnp.sort(packed)
 
         def _segmented_sum(flags_first, values):
-            """Inclusive segmented cumsum over sorted keys (associative)."""
+            """Inclusive segmented cumsum over sorted keys (associative).
+
+            ``values`` may carry trailing dims beyond the (N,) flags —
+            e.g. the scatter fold's (N, C) evidence rows; the flag
+            broadcasts across them.
+            """
 
             def combine(a, b):
                 fa, va = a
                 fb, vb = b
-                return fa | fb, jnp.where(fb, vb, va + vb)
+                f = fb.reshape(fb.shape + (1,) * (va.ndim - fb.ndim))
+                return fa | fb, jnp.where(f, vb, va + vb)
 
             _, summed = jax.lax.associative_scan(combine, (flags_first, values))
             return summed
@@ -474,17 +491,6 @@ class SemanticMappingEngine:
 
             _, out = jax.lax.associative_scan(combine, (flags_first, values))
             return out
-
-        def _segmented_sum_vec(flags_first, values):
-            """Inclusive segmented cumsum of (N, C) rows over (N,) flags."""
-
-            def combine(a, b):
-                fa, va = a
-                fb, vb = b
-                return fa | fb, jnp.where(fb[..., None], vb, va + vb)
-
-            _, summed = jax.lax.associative_scan(combine, (flags_first, values))
-            return summed
 
         def _scatter_fold(grid, ksort, kvalid, obs_at_last, is_last,
                           bstat_at_last, gh, gw):
@@ -526,7 +532,7 @@ class SemanticMappingEngine:
             is_last_cell = jnp.concatenate(
                 [cell_s[:-1] != cell_s[1:], jnp.ones((1,), bool)]
             )
-            totals = _segmented_sum_vec(is_first_cell, vals)
+            totals = _segmented_sum(is_first_cell, vals)
             cidx = jnp.where(is_last_cell & kvalid, cell_s, gh * gw + arange_n)
             gflat = grid.reshape(num_cls, gh * gw)
             gflat = gflat.at[:, cidx].add(

@@ -123,7 +123,12 @@ class MappingReplay:
             return self._run_frames_grid_sharded(frames, init_grid=init_grid)
 
         engine = self.engine
-        grid = engine.init_grid() if init_grid is None else jnp.asarray(init_grid)
+        # copy, don't alias: the first dispatch DONATES the grid buffer
+        # (donate_argnums), which would invalidate the caller's checkpoint
+        # array for reuse (save_grid / a second resumed replay)
+        grid = engine.init_grid() if init_grid is None else jnp.array(
+            init_grid, copy=True
+        )
         bucket = engine.point_bucket
         chunks = list(self._chunk_frames(frames, window))
 
@@ -360,8 +365,8 @@ class MappingReplay:
                 grid = self.replay_file(path, init_grid=grid, return_grid=True)
             if seen:
                 if save_grid:
-                    self.engine.save_grid(save_grid, grid)
-                    self.logger.log(f"Saved grid checkpoint to {save_grid}")
+                    written = self.engine.save_grid(save_grid, grid)
+                    self.logger.log(f"Saved grid checkpoint to {written}")
                 maps.append(self.finalize(grid, "combined"))
         else:
             for path in iter_sequence_files(input_dir):

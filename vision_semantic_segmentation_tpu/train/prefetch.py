@@ -40,23 +40,47 @@ class PrefetchLoader:
 
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    if not put(batch):
+                        return  # consumer abandoned iteration
             except BaseException as exc:  # noqa: BLE001 - re-raised by consumer
-                q.put(exc)
+                put(exc)
                 return
-            q.put(_SENTINEL)
+            put(_SENTINEL)
 
         thread = threading.Thread(target=worker, daemon=True, name="prefetch")
         thread.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # early exit (break / exception / GeneratorExit): release a
+            # producer blocked on the full queue and reap the thread —
+            # without this every abandoned epoch leaks a thread plus
+            # depth+1 decoded batches
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=10.0)
