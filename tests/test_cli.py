@@ -6,12 +6,13 @@ import numpy as np
 from vision_semantic_segmentation_tpu.__main__ import main as cli_main
 
 
-def _write_cfg(tmp_path, extra=""):
+def _write_cfg(tmp_path, extra="", mapping_extra=""):
     cfg_path = tmp_path / "exp.yaml"
     cfg_path.write_text(
         "MAPPING:\n"
         "  BOUNDARY: [[100, 140], [800, 840]]\n"
         "  POINT_BUCKET: 4096\n"
+        f"{mapping_extra}"
         f"OUTPUT_DIR: '{tmp_path}/out'\n"
         f"{extra}"
     )
@@ -84,8 +85,18 @@ def test_convert_cli(tmp_path):
     assert tree["params"]["conv1"]["kernel"].shape == (3, 3, 3, 4)
 
 
-def test_pipeline_cli(tmp_path, rng):
-    """End-to-end CLI: both nodes over a recorded bag."""
+import pytest
+
+
+@pytest.mark.parametrize("depth_method", ["points_map", "points_raw"])
+def test_pipeline_cli(tmp_path, rng, depth_method):
+    """End-to-end CLI: both nodes over a recorded bag.
+
+    points_raw pins the cloud-topic wiring: the CLI must publish clouds
+    on the topic the node subscribes to for the configured
+    MAPPING.DEPTH_METHOD (/points_raw), not a hardcoded /reduced_map —
+    a mismatch silently drops every frame and produces no map.
+    """
     import sys
 
     sys.path.insert(0, os.path.dirname(__file__))
@@ -114,6 +125,7 @@ def test_pipeline_cli(tmp_path, rng):
             "    MODEL:\n"
             "      TYPE: Dummy\n"
         ),
+        mapping_extra=f"  DEPTH_METHOD: {depth_method}\n",
     )
     # Dummy model has no weights on disk; monkeypatch the predictor builder
     import vision_semantic_segmentation_tpu.runtime.node as node_mod

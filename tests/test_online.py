@@ -236,6 +236,41 @@ class TestStreamBagFrames:
         rest = list(it)
         assert len(rest) == 39
 
+    def test_abandoned_consumer_reaps_decoder_thread(self, rng, tmp_path):
+        """Closing the generator early must unblock + reap the decoder.
+
+        Regression: the worker blocked forever in ``out.put`` on the full
+        bounded queue when the consumer broke out mid-replay, leaking a
+        thread plus ``max_buffered`` decoded frames per abandoned stream.
+        """
+        import threading
+        import time as _time
+
+        from vision_semantic_segmentation_tpu.runtime.bag_adapter import (
+            stream_bag_frames,
+        )
+
+        path = tmp_path / "s.bag"
+        _make_bag(path, rng, n_frames=40)
+        it = stream_bag_frames(str(path), max_buffered=2)
+        next(it)
+        # let the worker fill the bounded queue and block in put()
+        deadline = _time.time() + 5.0
+        while (
+            not any(t.name == "bag-decoder" for t in threading.enumerate())
+            and _time.time() < deadline
+        ):
+            _time.sleep(0.01)
+        it.close()  # GeneratorExit inside the consumer loop
+        deadline = _time.time() + 5.0
+        while _time.time() < deadline and any(
+            t.name == "bag-decoder" for t in threading.enumerate()
+        ):
+            _time.sleep(0.05)
+        assert not any(
+            t.name == "bag-decoder" for t in threading.enumerate()
+        ), "decoder thread still alive after the consumer closed"
+
 
 class TestOnlineCLI:
     def test_pipeline_rate_flag(self, rng, tmp_path):

@@ -41,6 +41,29 @@ class TestBusSync:
     def test_single_element(self):
         assert nearest_stamp_index([5.0], 1.0) == 0
 
+    def test_sync_deep_queue_returns_nearest(self):
+        """Selection happens BEFORE trimming (ref mapping.py:204-216).
+
+        Regression: indexing the trimmed queue with the pre-trim nearest
+        index returned a message ~2x deeper than the nearest whenever the
+        queue ran more than two entries ahead of the target stamp.
+        """
+        from vision_semantic_segmentation_tpu.runtime.bus import Message
+
+        queue = [
+            Message(data=i, stamp=float(i), frame_id="") for i in range(21)
+        ]
+        msg = MappingNode._sync(None, queue, 12.3)
+        assert msg.stamp == 12.0
+        # trimmed to the bracket start; the nearest stays at the front
+        assert queue[0].stamp == 11.0
+        msg = MappingNode._sync(None, queue, 18.9)
+        assert msg.stamp == 19.0
+        # all-below-target falls through to the newest entry (ref :213-216)
+        msg = MappingNode._sync(None, queue, 99.0)
+        assert msg.stamp == 20.0
+        assert queue[0].stamp == 19.0 and queue[-1].stamp == 20.0
+
 
 class TestFrameIO:
     def test_npz_roundtrip(self, rng, tmp_path):
@@ -65,6 +88,15 @@ class TestFrameIO:
         assert loaded[2].camera == "camera6"
         assert loaded[2].pcd_frame_id == "world"
         assert loaded[2].stamp == 1.25
+        # schema is exactly the per-frame keys + num_frames + meta — no
+        # stray entries (a savez kwarg typo once stored an 'allow_pickle'
+        # scalar array in every archive)
+        with np.load(path, allow_pickle=True) as z:
+            want = {"num_frames", "meta"} | {
+                f"{k}_{i}" for i in range(3)
+                for k in ("pcd", "image", "position", "quaternion")
+            }
+            assert set(z.files) == want
 
     def test_reference_dict_pose_dump_loads(self, rng, tmp_path):
         import pickle

@@ -432,6 +432,18 @@ class TestGradAccumulation:
             with pytest.raises(NotImplementedError, match="GRAD_ACCUM_STEPS"):
                 Trainer(cfg, output_dir=str(tmp_path / "b"))
 
+        # remat has no per-device-BN variant: silently rerouting to the
+        # SyncBN step would change the BN statistics scope the user set
+        cfg.TRAIN.GRAD_ACCUM_STEPS = 1
+        if jax.device_count() > 1:
+            with pytest.raises(NotImplementedError, match="remat"):
+                Trainer(cfg, output_dir=str(tmp_path / "c"), remat=True)
+            # ...but frozen BN stats make the scopes identical, so that
+            # combination routes to the jit path without complaint
+            cfg.TRAIN.FREEZE_BATCHNORM = True
+            Trainer(cfg, output_dir=str(tmp_path / "d"), remat=True)
+            cfg.TRAIN.FREEZE_BATCHNORM = False
+
 
 class TestBf16Training:
     def test_bf16_trainer_learns_and_tracks_f32(self, tmp_path):

@@ -94,8 +94,12 @@ def cmd_pipeline(args):
         play_bag(args.bag, bus)
     else:
         frames = load_frames(args.bag)
+        # publish clouds on the topic the node actually subscribes to —
+        # MAPPING.DEPTH_METHOD selects /reduced_map vs /points_raw
+        # (node.py pcd_topic; ref launch remaps the same way)
+        pcd_topic = node.pcd_topic or "/reduced_map"
         for f in frames:
-            bus.publish("/reduced_map", f.pcd, stamp=f.stamp, frame_id=f.pcd_frame_id)
+            bus.publish(pcd_topic, f.pcd, stamp=f.stamp, frame_id=f.pcd_frame_id)
             bus.publish("/current_pose", (f.position, f.quaternion), stamp=f.stamp)
             bus.publish(f"/{f.camera}/image_raw", f.semantic_image, stamp=f.stamp, frame_id=f.camera)
     if node.grid is not None and node.finalized_map is None:

@@ -37,6 +37,10 @@ __all__ = [
     "DEFAULT_TOPIC_MAP",
 ]
 
+
+class _ConsumerGone(BaseException):
+    """The stream_bag_frames consumer abandoned the generator."""
+
 # The reference's launch files republish the AVT camera topics to
 # /<camera>/image_raw (ref scripts/launch/camera1_mapping.launch:13-15);
 # these renames replace that image_transport republisher.
@@ -171,6 +175,23 @@ def stream_bag_frames(
     camera = _camera_of_topic(DEFAULT_TOPIC_MAP.get(image_topic, image_topic))
     out: "_queue.Queue" = _queue.Queue(maxsize=max(1, int(max_buffered)))
     _DONE = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone.
+
+        Without this, a consumer that abandons the generator early (error
+        mid-replay, break) leaves the decoder thread blocked forever in
+        ``out.put`` holding the open bag reader plus ``max_buffered``
+        decoded frames (same fix as train/prefetch.py).
+        """
+        while not stop.is_set():
+            try:
+                out.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def nearest(entries, target):
         return min(entries, key=lambda e: abs(e[0] - target))
@@ -194,7 +215,7 @@ def stream_bag_frames(
                 images.pop(0)
                 cloud = nearest(clouds, stamp)[1]
                 pose = nearest(poses, stamp)[1]
-                out.put(FrameRecord(
+                if not put(FrameRecord(
                     pcd=cloud.xyzi(),
                     pcd_frame_id=cloud.header.frame_id.lstrip("/") or "world",
                     semantic_image=img.rgb(),
@@ -202,7 +223,8 @@ def stream_bag_frames(
                     quaternion=np.asarray(pose.quaternion),
                     camera=camera,
                     stamp=stamp,
-                ))
+                )):
+                    raise _ConsumerGone
                 # prune history no future image (stamp >= this one, modulo
                 # lookahead disorder) can pair nearer than its keepers
                 cut = stamp - lookahead_s
@@ -231,20 +253,32 @@ def stream_bag_frames(
                     poses.append((stamp, msg))
                 flush(horizon=stamp)
             flush(horizon=None)
-            out.put(_DONE)
+            put(_DONE)
+        except _ConsumerGone:
+            return
         except BaseException as exc:  # surface reader errors to the consumer
-            out.put(exc)
+            put(exc)
 
     thread = threading.Thread(target=worker, name="bag-decoder", daemon=True)
     thread.start()
-    while True:
-        item = out.get()
-        if item is _DONE:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    thread.join(timeout=5.0)
+    try:
+        while True:
+            item = out.get()
+            if item is _DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # early exit (break / exception / GeneratorExit): release a
+        # producer blocked on the full queue and reap the thread
+        stop.set()
+        while True:
+            try:
+                out.get_nowait()
+            except _queue.Empty:
+                break
+        thread.join(timeout=5.0)
 
 
 def bag_to_frames(

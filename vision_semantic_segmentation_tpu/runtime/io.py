@@ -43,7 +43,10 @@ def save_frames(frames: Sequence[FrameRecord], path: str) -> None:
         arrays[f"quaternion_{i}"] = np.asarray(f.quaternion, dtype=np.float64)
         meta.append((f.pcd_frame_id, f.camera, f.stamp))
     arrays["meta"] = np.asarray(meta, dtype=object)
-    np.savez_compressed(path, **arrays, allow_pickle=True)
+    # NOTE: savez has no allow_pickle parameter (np.save's default already
+    # permits the object 'meta' array); passing one would store a bogus
+    # scalar array named 'allow_pickle' in every archive
+    np.savez_compressed(path, **arrays)
 
 
 def load_frames(path: str) -> List[FrameRecord]:

@@ -284,9 +284,14 @@ class MappingNode:
 
     def _sync(self, queue: List[Message], target: float) -> Message:
         idx = nearest_stamp_index([m.stamp for m in queue], target)
+        # select BEFORE trimming (the reference captures the message and
+        # only then rebinds the queue from the bracket start, ref :204-216;
+        # indexing the trimmed queue with the pre-trim index returned a
+        # message ~2x deeper than the nearest whenever idx >= 2)
+        msg = queue[idx]
         # drop everything before the bracketing window (ref :210-217)
-        del queue[: max(idx - 1, 0) if idx > 0 else 0]
-        return queue[min(idx, len(queue) - 1)] if len(queue) > 1 else queue[0]
+        del queue[: max(idx - 1, 0)]
+        return msg
 
     def image_callback(self, msg: Message) -> None:
         """Fuse one semantic frame (ref mapping.py:261-355)."""

@@ -106,7 +106,7 @@ class MappingReplay:
 
     def run_frames(
         self, frames: Sequence[FrameRecord], window: int = 8,
-        prefetch: bool = True, init_grid=None,
+        prefetch: bool = True, init_grid=None, _copy_init: bool = True,
     ):
         """Fuse a frame sequence into a fresh grid; returns the device grid.
 
@@ -125,10 +125,16 @@ class MappingReplay:
         engine = self.engine
         # copy, don't alias: the first dispatch DONATES the grid buffer
         # (donate_argnums), which would invalidate the caller's checkpoint
-        # array for reuse (save_grid / a second resumed replay)
-        grid = engine.init_grid() if init_grid is None else jnp.array(
-            init_grid, copy=True
-        )
+        # array for reuse (save_grid / a second resumed replay).  Internal
+        # callers that own the grid (replay_dir's continuous loop threading
+        # one grid through N files) skip the copy — 700 MB per file
+        # boundary at the full-route grid.
+        if init_grid is None:
+            grid = engine.init_grid()
+        elif _copy_init:
+            grid = jnp.array(init_grid, copy=True)
+        else:
+            grid = jnp.asarray(init_grid)
         bucket = engine.point_bucket
         chunks = list(self._chunk_frames(frames, window))
 
@@ -319,21 +325,29 @@ class MappingReplay:
         cv2.imwrite(path, array)
 
     # -- entry points (ref :146-172) -----------------------------------------
-    def replay_file(self, path: str, init_grid=None, return_grid: bool = False):
+    def replay_file(self, path: str, init_grid=None, return_grid: bool = False,
+                    _copy_init: bool = True):
         name = osp.splitext(osp.basename(path))[0]
         self.logger.log(f"Loading input file {path}")
         if path.endswith(".npz"):
             frames = load_frames(path)
         else:
             frames = load_reference_dump(path)
+        # stack_frames np.stack's the images too, so frame-parallel needs
+        # identical image shapes in addition to one (camera, cloud-frame)
+        # — mixed-resolution recordings fall back to the sequential path
+        # (whose _chunk_frames already splits on shape)
         homogeneous = (
-            len({(f.camera, f.pcd_frame_id) for f in frames}) == 1
+            len({(f.camera, f.pcd_frame_id, f.semantic_image.shape)
+                 for f in frames}) == 1
             if frames else False
         )
         if self.frame_parallel and homogeneous:
             grid = self.run_frames_parallel(frames, init_grid=init_grid)
         else:
-            grid = self.run_frames(frames, init_grid=init_grid)
+            grid = self.run_frames(
+                frames, init_grid=init_grid, _copy_init=_copy_init
+            )
         if return_grid:
             return grid
         return self.finalize(grid, name)
@@ -362,7 +376,12 @@ class MappingReplay:
             seen = False
             for path in iter_sequence_files(input_dir):
                 seen = True
-                grid = self.replay_file(path, init_grid=grid, return_grid=True)
+                # this loop owns every grid it threads (load_grid returns a
+                # fresh array; each file's result feeds the next), so skip
+                # run_frames' protective copy-before-donation
+                grid = self.replay_file(
+                    path, init_grid=grid, return_grid=True, _copy_init=False
+                )
             if seen:
                 if save_grid:
                     written = self.engine.save_grid(save_grid, grid)

@@ -117,9 +117,7 @@ class Checkpoint:
         return last_saved
 
     def update_last_checkpoint(self, last_filename: str) -> None:
-        if not osp.isabs(last_filename):
-            last_filename = osp.basename(last_filename)
-        else:
-            last_filename = osp.basename(last_filename)
+        # the pointer file always stores a bare filename relative to
+        # save_dir (get_checkpoint_file re-joins it)
         with open(osp.join(self.save_dir, "last_checkpoint"), "w") as f:
-            f.write(last_filename)
+            f.write(osp.basename(last_filename))

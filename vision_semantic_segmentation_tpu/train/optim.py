@@ -38,11 +38,12 @@ def polynomial_lr_decay(base_lr: float, max_iter: int, power: float = 0.9):
     once ``step >= max_iter``.)
     """
     assert max_iter > 1, "max_iter should be greater than 1"
-    final = base_lr * (1 - (max_iter - 1) / max_iter) ** power
 
     def schedule(step):
         import jax.numpy as jnp
 
+        # the clip ceiling freezes the schedule at its step max_iter-1
+        # value once step >= max_iter (the reference's keep-last behavior)
         frac = jnp.clip(step / max_iter, 0.0, (max_iter - 1) / max_iter)
         return base_lr * (1.0 - frac) ** power
 

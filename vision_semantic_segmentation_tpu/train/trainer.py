@@ -148,7 +148,23 @@ class Trainer:
         aug = device_augment_from_cfg(cfg)
         self._device_augment = aug
         self._multi_train_step = None
-        if cfg.MODEL.SYNC_BN or self.mesh.devices.size == 1 or remat or cfg.TRAIN.FREEZE_BATCHNORM:
+        # FREEZE_BATCHNORM may route to the jit path even with SYNC_BN=False:
+        # frozen running stats make per-device and global BN identical, so
+        # no semantics change.  remat may NOT — the per-device-BN shard_map
+        # step has no remat variant, and silently switching to SyncBN would
+        # change the BN statistics scope the user asked for.
+        if (
+            remat
+            and not cfg.MODEL.SYNC_BN
+            and self.mesh.devices.size > 1
+            and not cfg.TRAIN.FREEZE_BATCHNORM
+        ):
+            raise NotImplementedError(
+                "remat requires the SyncBN/jit train step (MODEL.SYNC_BN="
+                "True, a single device, or TRAIN.FREEZE_BATCHNORM=True); "
+                "the per-device-BN shard_map path does not support it"
+            )
+        if cfg.MODEL.SYNC_BN or self.mesh.devices.size == 1 or cfg.TRAIN.FREEZE_BATCHNORM:
             self._train_step = jit_train_step(
                 make_train_step(
                     num_classes,
