@@ -59,7 +59,11 @@ _C.MAPPING.UPDATE_WINDOW = 0
 # SORT_METHOD 'bitonic' (XLA jnp.sort) | 'radix' (ops/sort.py LSD passes);
 # FOLD_METHOD 'matmul' (dense observation buffer + MXU evidence fold) |
 # 'scatter' (per-cell evidence vectors, one unique-cell scatter —
-# O(points) HBM traffic instead of O(cells)).
+# O(points) HBM traffic instead of O(cells)).  The defaults are the
+# measured COMPOSED winners in the fused production pipeline on v5e
+# (scripts/probe_fold_composed.py, ROUND_NOTES r03: matmul+bitonic
+# 19.7 fps headline / 21.7 full-route vs scatter 17.1 / 20.1 and radix
+# 18.0); the alternatives win isolated micro-benchmarks only.
 _C.MAPPING.SORT_METHOD = "bitonic"
 _C.MAPPING.FOLD_METHOD = "matmul"
 
