@@ -109,6 +109,15 @@ def _train_base() -> CN:
     # micro-batch-local.  BATCH_SIZE must divide by it.  Requires the
     # SyncBN/jit step (SYNC_BN=True or a single device).
     _C.TRAIN.GRAD_ACCUM_STEPS = 1
+    # TPU-specific: shard the image/label H (row) dimension over this many
+    # devices during training — GSPMD spatial partitioning with conv halo
+    # exchanges in forward AND backward (parallel/train_step.py::
+    # jit_spatial_train_step).  Activation memory divides by the shard
+    # count, unlocking crop sizes one chip's HBM cannot hold; parameters
+    # stay replicated.  Device count must divide by it; the remaining
+    # factor becomes the data axis.  Requires the SyncBN/jit step and
+    # host-side augmentation (DEVICE_AUGMENT composes with dp only).
+    _C.TRAIN.SPATIAL_SHARDS = 1
     _C.TRAIN.AUGMENTATION = ()
     # TPU-specific: run the training augmentation chain (random scale ->
     # pad -> crop -> horizontal flip -> ImageNet normalize) ON DEVICE

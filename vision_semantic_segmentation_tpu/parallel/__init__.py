@@ -4,12 +4,15 @@ from .mesh import (
     grid_row_sharding,
     replicated,
     shard_batch,
+    shard_spatial_batch,
     shard_stacked_batches,
 )
 from .train_step import (
     TrainState,
     jit_eval_step,
     jit_multi_train_step,
+    jit_spatial_eval_step,
+    jit_spatial_train_step,
     jit_train_step,
     make_eval_step,
     make_multi_train_step,
@@ -35,10 +38,13 @@ __all__ = [
     "grid_row_sharding",
     "replicated",
     "shard_batch",
+    "shard_spatial_batch",
     "shard_stacked_batches",
     "TrainState",
     "jit_eval_step",
     "jit_multi_train_step",
+    "jit_spatial_eval_step",
+    "jit_spatial_train_step",
     "jit_train_step",
     "make_multi_train_step",
     "make_eval_step",

@@ -68,3 +68,21 @@ def shard_stacked_batches(mesh: Mesh, batches, axis: str = "data"):
     (replicated), dim 1 = batch (sharded along ``axis``)."""
     sharding = NamedSharding(mesh, P(None, axis))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batches)
+
+
+def shard_spatial_batch(
+    mesh: Mesh,
+    batch,
+    data_axis: Optional[str] = "data",
+    spatial_axis: str = "spatial",
+    steps_axis: bool = False,
+):
+    """Place a batch with the batch dim over ``data_axis`` AND image rows
+    over ``spatial_axis`` (image (B, H, W, C) and label (B, H, W) share one
+    spec — H is dim 1 of both).  ``steps_axis``: a leading K
+    (steps-per-dispatch) axis stays unsharded.  Companion of
+    :func:`..parallel.train_step.jit_spatial_train_step`."""
+    spec = (P(None, data_axis, spatial_axis) if steps_axis
+            else P(data_axis, spatial_axis))
+    sharding = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

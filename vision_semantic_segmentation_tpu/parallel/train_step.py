@@ -370,6 +370,76 @@ def jit_train_step(train_step: Callable, mesh: Mesh, axis: str = "data"):
     )
 
 
+def jit_spatial_train_step(
+    train_step: Callable,
+    mesh: Mesh,
+    data_axis: Optional[str] = "data",
+    spatial_axis: str = "spatial",
+    steps_axis: bool = False,
+):
+    """jit a train step with image ROWS sharded over ``mesh[spatial_axis]``.
+
+    Spatial (sequence-parallel analogue) training: the batch's H dimension
+    is banded over the mesh in addition to (optionally) the batch dim over
+    ``data_axis``.  GSPMD inserts the conv halo exchanges in BOTH the
+    forward and the backward (transposed convs halo the cotangents), the
+    BN batch statistics and the loss/metric contractions become partial
+    sums + an ICI psum, and parameters/optimizer state stay replicated —
+    so the step is numerically the single-device step up to float
+    reassociation of the reductions (pinned in tests/test_spatial_train.py).
+
+    Why: activation memory for DeepLab at train time scales with B*H*W
+    while the parameter tree is ~50 MB — sharding H divides the activation
+    footprint by the axis size, unlocking crop sizes / batch shapes a
+    single chip's HBM cannot hold (the training-side counterpart of
+    parallel/spatial_infer.py; no reference equivalent — DDP only
+    replicates, ref distributed_train.py:201-369).
+
+    Args:
+        data_axis: mesh axis for the batch dim, or None for a pure-spatial
+            mesh.
+        steps_axis: the batch dict carries a leading K (steps-per-dispatch)
+            axis, as in :func:`make_multi_train_step`; K stays unsharded.
+
+    Works with the SyncBN/jit step only (global-batch BN statistics); the
+    per-device-BN shard_map path has no spatial variant by design.
+
+    .. warning:: every intermediate feature map must keep >= 1 row per
+        spatial shard: image H must be >= backbone output_stride x
+        axis size.  Below that, XLA GSPMD's backward for strided convs
+        silently computes WRONG kernel gradients (measured: stride-2 3x3
+        SAME conv, 8 rows over 8 devices -> forward exact, kernel grad
+        38% wrong; at >= 1 row/shard everything is exact to ~1e-6 rel —
+        see ROUND_NOTES.md "Spatial-sharded training").  The Trainer
+        enforces this; direct callers must check it themselves.
+    """
+    replicated = NamedSharding(mesh, P())
+    spec = (P(None, data_axis, spatial_axis) if steps_axis
+            else P(data_axis, spatial_axis))
+    batch_sharded = NamedSharding(mesh, spec)
+    return jax.jit(
+        train_step,
+        in_shardings=(replicated, batch_sharded),
+        out_shardings=(replicated, replicated),
+    )
+
+
+def jit_spatial_eval_step(
+    eval_step: Callable,
+    mesh: Mesh,
+    data_axis: Optional[str] = "data",
+    spatial_axis: str = "spatial",
+):
+    """Eval-step twin of :func:`jit_spatial_train_step`."""
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(data_axis, spatial_axis))
+    return jax.jit(
+        eval_step,
+        in_shardings=(replicated, batch_sharded),
+        out_shardings=replicated,
+    )
+
+
 def jit_eval_step(eval_step: Callable, mesh: Mesh, axis: str = "data"):
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(axis))

@@ -20,11 +20,18 @@ import jax
 import numpy as np
 
 from ..models.build import build_model
-from ..parallel.mesh import create_mesh, shard_batch, shard_stacked_batches
+from ..parallel.mesh import (
+    create_mesh,
+    shard_batch,
+    shard_spatial_batch,
+    shard_stacked_batches,
+)
 from ..parallel.train_step import (
     TrainState,
     jit_eval_step,
     jit_multi_train_step,
+    jit_spatial_eval_step,
+    jit_spatial_train_step,
     jit_train_step,
     make_eval_step,
     make_multi_train_step,
@@ -79,9 +86,31 @@ class Trainer:
         self.cfg = cfg
         self.output_dir = output_dir
         self.logger = logger
+        spatial = max(1, int(getattr(cfg.TRAIN, "SPATIAL_SHARDS", 1)))
         if mesh is None:
             n_dev = len(jax.devices())
-            if cfg.TRAIN.BATCH_SIZE % max(n_dev, 1) != 0:
+            if spatial > 1:
+                # 2D ('data', 'spatial') mesh: image rows band over the
+                # spatial axis (GSPMD halo exchanges fwd+bwd), the batch
+                # over whatever devices remain
+                if n_dev % spatial != 0:
+                    raise ValueError(
+                        f"TRAIN.SPATIAL_SHARDS={spatial} does not divide "
+                        f"the device count {n_dev}"
+                    )
+                n_data = n_dev // spatial
+                # data axis must divide the batch; shrink to a divisor
+                n_use = 1
+                for d in range(min(n_data, cfg.TRAIN.BATCH_SIZE), 0, -1):
+                    if cfg.TRAIN.BATCH_SIZE % d == 0:
+                        n_use = d
+                        break
+                mesh = create_mesh(
+                    axis_sizes=(n_use, spatial),
+                    axis_names=("data", "spatial"),
+                    devices=jax.devices()[: n_use * spatial],
+                )
+            elif cfg.TRAIN.BATCH_SIZE % max(n_dev, 1) != 0:
                 # batch must split evenly over the data axis; shrink the
                 # mesh to the largest divisor of the batch size
                 n_use = 1
@@ -93,6 +122,17 @@ class Trainer:
             else:
                 mesh = create_mesh(axis_names=("data",))
         self.mesh = mesh
+        mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        self._spatial = mesh_shape.get("spatial", 1)
+        self._data_size = mesh_shape.get("data", mesh.devices.size)
+        # GSPMD computes WRONG strided-conv kernel gradients once a feature
+        # map has < 1 row per spatial shard (measured, see
+        # parallel/train_step.py::jit_spatial_train_step) — require the
+        # deepest (output-stride) map to keep >= 1 row per shard
+        self._min_spatial_h = (
+            int(getattr(cfg.MODEL, "OUTPUT_STRIDE", 1)) * self._spatial
+            if self._spatial > 1 else 0
+        )
 
         rng = set_random_seed(cfg.RNG_SEED)
         if rng is None:  # RNG_SEED < 0 = unseeded (ref torch_util.py:7-16)
@@ -156,7 +196,7 @@ class Trainer:
         if (
             remat
             and not cfg.MODEL.SYNC_BN
-            and self.mesh.devices.size > 1
+            and self._data_size > 1
             and not cfg.TRAIN.FREEZE_BATCHNORM
         ):
             raise NotImplementedError(
@@ -164,31 +204,58 @@ class Trainer:
                 "True, a single device, or TRAIN.FREEZE_BATCHNORM=True); "
                 "the per-device-BN shard_map path does not support it"
             )
-        if cfg.MODEL.SYNC_BN or self.mesh.devices.size == 1 or cfg.TRAIN.FREEZE_BATCHNORM:
-            self._train_step = jit_train_step(
-                make_train_step(
+        jit_path = (
+            cfg.MODEL.SYNC_BN or self._data_size == 1 or cfg.TRAIN.FREEZE_BATCHNORM
+        )
+        if self._spatial > 1:
+            # fail loudly on unsupported compositions (VERDICT r02 #4 rule)
+            if not jit_path:
+                raise NotImplementedError(
+                    "TRAIN.SPATIAL_SHARDS > 1 requires the SyncBN/jit train "
+                    "step (MODEL.SYNC_BN=True, a single-data-device mesh, or "
+                    "TRAIN.FREEZE_BATCHNORM=True); per-device BN statistics "
+                    "are undefined for spatially-split images"
+                )
+            if aug is not None:
+                raise NotImplementedError(
+                    "TRAIN.DEVICE_AUGMENT composes with data parallelism "
+                    "only; with TRAIN.SPATIAL_SHARDS > 1 feed host-side "
+                    "augmented fixed-shape crops (TRAIN.AUGMENTATION)"
+                )
+        if jit_path:
+            raw_step = make_train_step(
+                num_classes,
+                max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
+                freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
+                remat=remat,
+                accum_steps=accum,
+                augment=aug,
+            )
+            if self._spatial > 1:
+                self._train_step = jit_spatial_train_step(
+                    raw_step, self.mesh, data_axis="data", spatial_axis="spatial"
+                )
+            else:
+                self._train_step = jit_train_step(raw_step, self.mesh)
+            if k > 1:
+                raw_multi = make_multi_train_step(
                     num_classes,
+                    k,
                     max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
                     freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
                     remat=remat,
                     accum_steps=accum,
                     augment=aug,
-                ),
-                self.mesh,
-            )
-            if k > 1:
-                self._multi_train_step = jit_multi_train_step(
-                    make_multi_train_step(
-                        num_classes,
-                        k,
-                        max_grad_norm=cfg.OPTIMIZER.MAX_GRAD_NORM,
-                        freeze_bn_stats=cfg.TRAIN.FREEZE_BATCHNORM,
-                        remat=remat,
-                        accum_steps=accum,
-                        augment=aug,
-                    ),
-                    self.mesh,
                 )
+                if self._spatial > 1:
+                    self._multi_train_step = jit_spatial_train_step(
+                        raw_multi, self.mesh, data_axis="data",
+                        spatial_axis="spatial", steps_axis=True,
+                    )
+                else:
+                    self._multi_train_step = jit_multi_train_step(
+                        raw_multi, self.mesh
+                    )
         else:
             if accum > 1:
                 # Don't silently change semantics: the per-device-BN
@@ -213,7 +280,13 @@ class Trainer:
                     steps=k,
                     augment=aug,
                 )
-        self._eval_step = jit_eval_step(make_eval_step(num_classes), self.mesh)
+        if self._spatial > 1:
+            self._eval_step = jit_spatial_eval_step(
+                make_eval_step(num_classes), self.mesh,
+                data_axis="data", spatial_axis="spatial",
+            )
+        else:
+            self._eval_step = jit_eval_step(make_eval_step(num_classes), self.mesh)
 
         # checkpointing (ref train.py:188-195)
         self.checkpoint = Checkpoint(self.state, save_dir=output_dir or ".", logger=logger)
@@ -256,7 +329,7 @@ class Trainer:
         (With DROP_LAST=False / in validation, the final partial batch need
         not split over the 'data' axis otherwise.)
         """
-        n_dev = self.mesh.devices.size
+        n_dev = self._data_size
         b = batch["image"].shape[0]
         if b % n_dev == 0:
             return batch
@@ -272,6 +345,37 @@ class Trainer:
         )
         return {"image": image, "label": label}
 
+    def _check_spatial_h(self, h):
+        if h % self._spatial != 0 or h < self._min_spatial_h:
+            raise ValueError(
+                f"TRAIN.SPATIAL_SHARDS={self._spatial} needs the crop height "
+                f"to divide by the shard count and be >= OUTPUT_STRIDE x "
+                f"shards = {self._min_spatial_h} (got H={h}); below that "
+                "every feature map no longer keeps one row per shard and "
+                "GSPMD's strided-conv backward is numerically wrong "
+                "(see parallel/train_step.py::jit_spatial_train_step)"
+            )
+
+    def _shard(self, batch):
+        """Mesh placement for one batch (data-parallel, + spatial banding
+        of the H dim when TRAIN.SPATIAL_SHARDS > 1)."""
+        if self._spatial > 1:
+            self._check_spatial_h(batch["image"].shape[1])
+            return shard_spatial_batch(
+                self.mesh, batch, data_axis="data", spatial_axis="spatial"
+            )
+        return shard_batch(self.mesh, batch)
+
+    def _shard_stacked(self, batches):
+        """Mesh placement for (K, B, ...) stacked per-step batches."""
+        if self._spatial > 1:
+            self._check_spatial_h(batches["image"].shape[2])
+            return shard_spatial_batch(
+                self.mesh, batches, data_axis="data", spatial_axis="spatial",
+                steps_axis=True,
+            )
+        return shard_stacked_batches(self.mesh, batches)
+
     # -- epoch loops (ref train.py:56-161) -----------------------------------
     def _dispatch_group_async(self, group):
         """Upload + dispatch a list of host batches WITHOUT reading metrics
@@ -281,7 +385,7 @@ class Trainer:
         handle to :meth:`_drain_group` to realize the losses/metrics."""
         k = self._steps_per_dispatch
         if len(group) == k and self._multi_train_step is not None:
-            stacked = shard_stacked_batches(self.mesh, {
+            stacked = self._shard_stacked({
                 "image": np.stack([b["image"] for b in group]),
                 "label": np.stack([b["label"] for b in group]),
             })
@@ -291,7 +395,7 @@ class Trainer:
         for b in group:
             # pad indivisible remainder batches (loss/metrics unchanged;
             # only train-mode BN statistics see the duplicated samples)
-            sharded = shard_batch(self.mesh, self._pad_batch(b))
+            sharded = self._shard(self._pad_batch(b))
             self.state, metrics = self._train_step(self.state, sharded)
             handles.append(metrics)
         return ("steps", handles)
@@ -393,7 +497,7 @@ class Trainer:
         self.val_metric.reset()
         meters = MeterLogger()
         for batch in dataloader:
-            batch = shard_batch(self.mesh, self._pad_batch({
+            batch = self._shard(self._pad_batch({
                 "image": np.asarray(batch["image"], np.float32),
                 "label": np.asarray(batch["label"], np.int32),
             }))
