@@ -12,6 +12,7 @@ CLI:
     python -m vision_semantic_segmentation_tpu export   input.{hkl,pkl,bag} [--out f.npz]
     python -m vision_semantic_segmentation_tpu video    --cfg demo.yaml --video in.mp4
     python -m vision_semantic_segmentation_tpu compile  --cfg exp.yaml --out runner.vsstexp
+    python -m vision_semantic_segmentation_tpu autotune --cfg exp.yaml --out tuned.yaml
 """
 from __future__ import annotations
 
@@ -309,6 +310,50 @@ def cmd_quantize(args):
     print(f"wrote {args.out} ({len(images)} calibration frames)")
 
 
+def cmd_autotune(args):
+    """Measure the grid-update backend combinations at THIS config's
+    shapes on THIS device and write a YAML overlay selecting the winner.
+
+    The right SORT_METHOD/FOLD_METHOD/UPDATE_WINDOW depend on grid size
+    vs points per frame and only compose-level timing decides
+    (runtime/tuning.py); the overlay merges on top of the experiment
+    config:  `autotune --cfg exp.yaml --out tuned.yaml` then pass BOTH
+    files (yacs merges in order) or merge tuned.yaml into exp.yaml.
+    """
+    from .runtime.tuning import tune, write_overlay
+
+    cfg = _load_app_cfg(args.cfg)
+    update_windows = (
+        [int(v) for v in args.update_windows.split(",") if v != ""]
+        if args.update_windows else None
+    )
+    combos = None
+    if args.folds or args.sorts:
+        folds = (args.folds or "matmul,scatter").split(",")
+        sorts = (args.sorts or "bitonic,radix").split(",")
+        combos = [(f, s) for f in folds for s in sorts]
+    result = tune(
+        cfg,
+        image_hw=(args.height, args.width),
+        window=args.window,
+        n_windows=args.windows,
+        repeats=args.repeats,
+        combos=combos,
+        update_windows=update_windows,
+        camera=args.camera,
+        distortion=args.distortion,
+        log=print,
+    )
+    best = result["best"]
+    print(
+        f"best: fold={best['fold']} sort={best['sort']} "
+        f"update_window={best['update_window']} -> {best['fps']} fps "
+        f"on {result['device_kind']}"
+    )
+    print(f"wrote {write_overlay(result, args.out)}")
+    return result
+
+
 def cmd_video(args):
     from .config import get_demo_cfg_defaults, resolve_output_dir
 
@@ -409,6 +454,30 @@ def main(argv=None):
                    help="number of calibration frames sampled from it")
     p.add_argument("--out", default="qpack.npz")
     p.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser(
+        "autotune",
+        help="measure grid-update backends at this config's shapes; "
+        "write a YAML overlay selecting the winner",
+    )
+    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--out", default="tuned.yaml")
+    p.add_argument("--camera", default="camera1")
+    p.add_argument("--height", type=int, default=1440)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--window", type=int, default=8,
+                   help="frames fused per device dispatch while timing")
+    p.add_argument("--windows", type=int, default=2,
+                   help="distinct timed windows (fresh data each)")
+    p.add_argument("--repeats", type=int, default=3, help="best-of repeats")
+    p.add_argument("--update-windows", default="",
+                   help="comma list of UPDATE_WINDOW cell sizes to sweep "
+                   "(0 = dense); default keeps the config's value")
+    p.add_argument("--folds", default="", help="comma list: matmul,scatter")
+    p.add_argument("--sorts", default="", help="comma list: bitonic,radix")
+    p.add_argument("--distortion", default="auto",
+                   choices=["auto", "none", "points"])
+    p.set_defaults(fn=cmd_autotune)
 
     p = sub.add_parser("video", help="segmentation overlay video demo")
     p.add_argument("--cfg", default="", metavar="FILE")
