@@ -170,7 +170,9 @@ def _time_combo(
     if update_window is not None:
         combo_cfg.MAPPING.UPDATE_WINDOW = int(update_window)
 
-    engine = SemanticMappingEngine(combo_cfg, evidence=np.eye(5))
+    # production-default evidence matrix (cfg-driven, any label count) —
+    # the timed program must be exactly what replay/pipeline would run
+    engine = SemanticMappingEngine(combo_cfg)
     dist = _resolve_distortion(combo_cfg, engine, camera, image_hw, distortion)
     pipeline = FusedFramePipeline(
         combo_cfg, variables, engine=engine, distortion=dist
