@@ -246,6 +246,95 @@ class TestCheckpoint:
         assert int(ckpt2.state.step) == 7  # optimizer/step untouched
 
 
+class TestAsyncCheckpoint:
+    """Non-blocking saves: snapshot-at-save semantics, deferred pointer
+    commit, drain points (next save / load / finish)."""
+
+    def _state(self):
+        return TestCheckpoint()._make_state()
+
+    def test_snapshot_semantics_and_commit(self, tmp_path):
+        state = self._state()
+        ckpt = Checkpoint(state, save_dir=str(tmp_path))
+        ckpt.save("model_async", block=False)
+        # keep "training" while the write is in flight: the saved values
+        # must be the ones AT save time, not these
+        ckpt.state = state.replace(
+            params=jax.tree.map(lambda x: x + 100.0, state.params)
+        )
+        ckpt.finish()
+        assert ckpt.has_checkpoint()
+        assert osp.basename(ckpt.get_checkpoint_file()) == "model_async"
+
+        ckpt2 = Checkpoint(self._state(), save_dir=str(tmp_path))
+        ckpt2.load(resume=True)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(ckpt2.state.params)[0]),
+            np.asarray(jax.tree.leaves(state.params)[0]),
+        )
+        ckpt.finish()  # idempotent no-op
+
+    def test_next_save_drains_previous(self, tmp_path):
+        state = self._state()
+        ckpt = Checkpoint(state, save_dir=str(tmp_path))
+        ckpt.save("model_000", block=False, best_metric=0.25)
+        ckpt.save("model_001", block=False, best_metric=0.5)
+        ckpt.finish()
+        # both committed (extras side-files written), pointer at the last
+        assert osp.exists(osp.join(str(tmp_path), "model_000.extras.json"))
+        assert osp.exists(osp.join(str(tmp_path), "model_001.extras.json"))
+        assert osp.basename(ckpt.get_checkpoint_file()) == "model_001"
+
+    def test_load_commits_pending(self, tmp_path):
+        state = self._state()
+        ckpt = Checkpoint(state, save_dir=str(tmp_path))
+        ckpt.save("model_pending", block=False, best_metric=0.75)
+        extras = ckpt.load(resume=True)  # must drain + see its own save
+        assert float(extras["best_metric"]) == pytest.approx(0.75)
+
+    def test_trainer_fit_async(self, tmp_path, rng):
+        """TRAIN.ASYNC_CHECKPOINT=True through a real fit(): every epoch
+        checkpoint commits by the end (fit's finish())."""
+        root = tmp_path / "voc"
+        (root / "ImageSets/Segmentation").mkdir(parents=True)
+        (root / "JPEGImages").mkdir()
+        (root / "SegmentationClass").mkdir()
+        ids = [f"im{i}" for i in range(4)]
+        (root / "ImageSets/Segmentation/train.txt").write_text("\n".join(ids) + "\n")
+        for i in ids:
+            Image.fromarray(
+                (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+            ).save(root / "JPEGImages" / f"{i}.jpg")
+            Image.fromarray(
+                rng.integers(0, 3, (16, 16)).astype(np.uint8)
+            ).save(root / "SegmentationClass" / f"{i}.png")
+
+        cfg = get_train_cfg_defaults()
+        cfg.MODEL.TYPE = "Dummy"
+        cfg.DATASET.NAME = "Pascal"
+        cfg.DATASET.NUM_CLASSES = 3
+        cfg.DATASET.IN_CHANNELS = 3
+        cfg.DATASET.ROOT_DIR = str(root)
+        cfg.OPTIMIZER.TYPE = "SGD"
+        cfg.OPTIMIZER.BASE_LR = 0.05
+        cfg.SCHEDULER.MAX_EPOCH = 2
+        cfg.TRAIN.BATCH_SIZE = 2
+        cfg.TRAIN.AUGMENTATION = [["Resize", [16, 16]], "ToTensor"]
+        cfg.TRAIN.CHECKPOINT_PERIOD = 1
+        cfg.TRAIN.ASYNC_CHECKPOINT = True
+        out = str(tmp_path / "train_out")
+
+        trainer = Trainer(cfg, output_dir=out)
+        trainer.fit()
+        assert osp.exists(osp.join(out, "last_checkpoint"))
+        for name in ("model_000", "model_001", "model_latest"):
+            assert osp.exists(osp.join(out, name)), name
+            assert osp.exists(osp.join(out, name + ".extras.json")), name
+        # the committed pointer resumes cleanly
+        ckpt = Checkpoint(self._state(), save_dir=out)
+        assert osp.basename(ckpt.get_checkpoint_file()) == "model_latest"
+
+
 class TestTrainerEndToEnd:
     def test_loss_decreases_on_tiny_problem(self, tmp_path):
         cfg = get_train_cfg_defaults()

@@ -85,6 +85,12 @@ def _train_base() -> CN:
     _C.TRAIN = CN()
     _C.TRAIN.BATCH_SIZE = 1
     _C.TRAIN.CHECKPOINT_PERIOD = DISABLE
+    # Non-blocking checkpoint saves (TPU-specific; no reference
+    # equivalent): Orbax snapshots the arrays synchronously, then
+    # serializes/writes on a background thread while the epoch loop keeps
+    # dispatching; the last_checkpoint pointer commits only when the
+    # write completes (train/checkpoint.py::Checkpoint.save(block=False))
+    _C.TRAIN.ASYNC_CHECKPOINT = False
     _C.TRAIN.LOG_PERIOD = DISABLE
     # TPU-specific (no reference equivalent): train steps fused per device
     # dispatch via lax.scan. Dispatch overhead is per call and scales with

@@ -28,13 +28,28 @@ class Checkpoint:
         self.logger = logger or logging.getLogger(__name__)
         self.state = state
         self._checkpointer = ocp.StandardCheckpointer()
+        # (path, extras) of an in-flight non-blocking save, else None
+        self._pending = None
 
     # -- save ----------------------------------------------------------------
-    def save(self, filename: str, **kwargs) -> None:
-        """Save the current state (+ extras) under ``save_dir/filename``."""
+    def save(self, filename: str, block: bool = True, **kwargs) -> None:
+        """Save the current state (+ extras) under ``save_dir/filename``.
+
+        ``block=False`` returns as soon as Orbax has snapshotted the
+        arrays (its async save copies device buffers out before
+        returning, so the caller may keep training — including donating
+        the state to the next dispatch — while serialization and the
+        disk write proceed on Orbax's background thread).  The
+        ``last_checkpoint`` pointer and the extras side-file are only
+        written when the save COMMITS — at the next :meth:`save`/
+        :meth:`load`, or an explicit :meth:`finish` — so the pointer can
+        never reference a torn checkpoint.  At most one save is in
+        flight: a new save first drains the previous one.
+        """
         if not self.save_dir or not filename:
             self.logger.warning("Invalid save directory or filename")
             return
+        self.finish()  # at most one in-flight save
         os.makedirs(self.save_dir, exist_ok=True)
         path = osp.join(self.save_dir, filename)
 
@@ -47,13 +62,31 @@ class Checkpoint:
         }
         self.logger.info(f"Saving checkpoint to {path}")
         self._checkpointer.save(path, payload, force=True)
-        # StandardCheckpointer saves asynchronously; block so the pointer
-        # file never references an uncommitted checkpoint
-        self._checkpointer.wait_until_finished()
+        if block:
+            self._checkpointer.wait_until_finished()
+            self._finalize(path, kwargs)
+        else:
+            self._pending = (path, dict(kwargs))
+
+    def _finalize(self, path: str, extras: Dict[str, Any]) -> None:
         # extras (arbitrary scalars, e.g. best_metric) ride in a side file
         with open(path + ".extras.json", "w") as f:
-            json.dump({k: float(np.asarray(v)) for k, v in kwargs.items()}, f)
+            json.dump({k: float(np.asarray(v)) for k, v in extras.items()}, f)
         self.update_last_checkpoint(path)
+
+    def finish(self) -> None:
+        """Drain an in-flight non-blocking save and commit its pointer.
+
+        No-op when nothing is pending.  A failed background write raises
+        here (from Orbax's ``wait_until_finished``), surfacing at the
+        first point the caller depends on the checkpoint existing.
+        """
+        if self._pending is None:
+            return
+        path, extras = self._pending
+        self._pending = None
+        self._checkpointer.wait_until_finished()
+        self._finalize(path, extras)
 
     # -- load ----------------------------------------------------------------
     def load(
@@ -68,6 +101,7 @@ class Checkpoint:
         prefers the last_checkpoint pointer over ``filename``;
         ``resume_states`` restores optimizer/step/rng as well as weights.
         """
+        self.finish()  # a pending save must commit before we read the pointer
         if resume and self.has_checkpoint():
             filename = self.get_checkpoint_file()
         if not filename:

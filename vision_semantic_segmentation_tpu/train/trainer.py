@@ -544,9 +544,16 @@ class Trainer:
                 self._tb.add_scalar("train/loss", meters.meters["loss"].global_avg, epoch)
 
             self.checkpoint.state = self.state
+            # non-blocking saves overlap Orbax's serialize+write with the
+            # next epoch's dispatches; save()/load()/finish() commit them
+            block = not bool(getattr(cfg.TRAIN, "ASYNC_CHECKPOINT", False))
             if cfg.TRAIN.CHECKPOINT_PERIOD and (epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0:
-                self.checkpoint.save(f"model_{epoch:03d}", best_metric=self.best_metric)
-            self.checkpoint.save("model_latest", best_metric=self.best_metric)
+                self.checkpoint.save(
+                    f"model_{epoch:03d}", block=block, best_metric=self.best_metric
+                )
+            self.checkpoint.save(
+                "model_latest", block=block, best_metric=self.best_metric
+            )
 
             if val_loader is not None and cfg.VALIDATE.PERIOD and (
                 (epoch + 1) % cfg.VALIDATE.PERIOD == 0
@@ -557,6 +564,8 @@ class Trainer:
                     self.checkpoint.state = self.state
                     self.checkpoint.save("model_best", best_metric=self.best_metric)
                     self._log(f"New best mIoU {miou:.4f}")
+
+        self.checkpoint.finish()  # commit any in-flight non-blocking save
 
 
 def train(cfg, output_dir: str = "", logger=None) -> Trainer:
