@@ -206,49 +206,19 @@ def _build_pipeline(cfg, img_h, img_w, distortion):
 
 
 def _gen_windows(cfg, pipeline, img_h, img_w, window, n_windows):
-    """Distinct on-device frame windows near the grid's lower corner."""
-    import jax
-    import jax.numpy as jnp
+    """Distinct on-device frame windows near the grid's lower corner.
 
-    from vision_semantic_segmentation_tpu.mapping import PCD_ORIGIN_OFFSET
+    Shares the autotuner's generator (ONE copy of the measurement-input
+    discipline); span/inset pinned to the r01-artifact values (40 m
+    footprint at +100 m inset) so the metric stays comparable across
+    rounds.
+    """
+    from vision_semantic_segmentation_tpu.runtime.tuning import generate_windows
 
-    bucket = cfg.MAPPING.POINT_BUCKET
-    x0m = cfg.MAPPING.BOUNDARY[0][0] + 100 - PCD_ORIGIN_OFFSET[0]
-    y0m = cfg.MAPPING.BOUNDARY[1][0] + 100 - PCD_ORIGIN_OFFSET[1]
-    position = np.tile(
-        np.asarray([x0m - 6.0, y0m + 20.0, 0.0], np.float32), (window, 1)
+    return generate_windows(
+        cfg, (img_h, img_w), window, n_windows,
+        span_m=40.0, origin_inset_m=(100.0, 100.0),
     )
-    quaternion = np.tile(np.asarray([0, 0, 0, 1.0], np.float32), (window, 1))
-
-    @jax.jit
-    def gen_window(key):
-        k_img, k_xy, k_zi = jax.random.split(key, 3)
-        images = jax.random.randint(
-            k_img, (window, img_h, img_w, 3), 0, 256, jnp.uint8
-        )
-        xy = jax.random.uniform(
-            k_xy, (window, 2, bucket),
-            minval=jnp.asarray([[x0m], [y0m]], jnp.float32),
-            maxval=jnp.asarray([[x0m + 40], [y0m + 40]], jnp.float32),
-        )
-        zi = jax.random.uniform(
-            k_zi, (window, 2, bucket),
-            minval=jnp.asarray([[-1.0], [0.0]], jnp.float32),
-            maxval=jnp.asarray([[0.5], [20.0]], jnp.float32),
-        )
-        pcd = jnp.concatenate([xy, zi], axis=1)  # (window, 4, bucket)
-        valid = jnp.ones((window, bucket), bool)
-        return {
-            "image": images,
-            "pcd": pcd,
-            "valid": valid,
-            "position": jnp.asarray(position),
-            "quaternion": jnp.asarray(quaternion),
-        }
-
-    windows = [gen_window(jax.random.PRNGKey(100 + i)) for i in range(n_windows)]
-    jax.block_until_ready(windows)
-    return windows
 
 
 def _run_stage(cfg, img_h, img_w, window, n_windows, distortion):

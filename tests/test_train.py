@@ -327,12 +327,42 @@ class TestAsyncCheckpoint:
         trainer = Trainer(cfg, output_dir=out)
         trainer.fit()
         assert osp.exists(osp.join(out, "last_checkpoint"))
-        for name in ("model_000", "model_001", "model_latest"):
+        # period epochs save ONLY the numbered checkpoint (a back-to-back
+        # model_latest save would drain the numbered save's background
+        # write and forfeit the async overlap)
+        for name in ("model_000", "model_001"):
             assert osp.exists(osp.join(out, name)), name
             assert osp.exists(osp.join(out, name + ".extras.json")), name
         # the committed pointer resumes cleanly
         ckpt = Checkpoint(self._state(), save_dir=out)
-        assert osp.basename(ckpt.get_checkpoint_file()) == "model_latest"
+        assert osp.basename(ckpt.get_checkpoint_file()) == "model_001"
+
+    def test_overwrite_never_tears_the_pointer(self, tmp_path):
+        """Re-saving an existing name diverts to a .vN sibling: at every
+        instant the pointer names an intact, committed directory (Orbax's
+        force=True would otherwise rmtree the live one at issue time)."""
+        state = self._state()
+        ckpt = Checkpoint(state, save_dir=str(tmp_path))
+        ckpt.save("model_latest")  # committed, plain name
+        first = ckpt.get_checkpoint_file()
+
+        ckpt.save("model_latest", block=False)  # overwrite, in flight
+        # the committed checkpoint must still be loadable mid-flight
+        assert osp.isdir(first)
+        ckpt.finish()
+        second = ckpt.get_checkpoint_file()
+        assert osp.basename(second) == "model_latest.v1"
+        assert osp.isdir(second)
+        assert not osp.exists(first)  # superseded dir retired after flip
+
+        ckpt.save("model_latest", block=False)  # third save rotates again
+        ckpt.finish()
+        third = ckpt.get_checkpoint_file()
+        assert osp.basename(third) == "model_latest.v2"
+        assert not osp.exists(second)
+        # loading by the LITERAL name resolves to the newest version
+        ckpt2 = Checkpoint(self._state(), save_dir=str(tmp_path))
+        ckpt2.load(filename="model_latest", resume=False)
 
 
 class TestTrainerEndToEnd:

@@ -91,9 +91,11 @@ class TestTune:
         # UPDATE_WINDOW was not swept -> not pinned by the overlay
         assert "UPDATE_WINDOW" not in overlay_yaml(result)
 
-    def test_update_window_sweep(self, tmp_path):
-        """update_windows multiplies the combo grid and lands in the overlay."""
+    def test_update_window_sweep_safe(self, tmp_path):
+        """A footprint-covering window candidate is sweepable and lands in
+        the overlay (RANGE_MAX=5 m @ 0.1 m -> required 110 <= 128)."""
         cfg = _tiny_cfg(tmp_path)
+        cfg.MAPPING.PCD.RANGE_MAX = 5.0
         result = tune(
             cfg,
             variables=_variables(cfg),
@@ -107,20 +109,68 @@ class TestTune:
         )
         assert len(result["rows"]) == 2
         assert {r["update_window"] for r in result["rows"]} == {0, 128}
+        assert not any(r["lossy"] for r in result["rows"])
         text = overlay_yaml(result)
         assert "UPDATE_WINDOW" in text
         merged = get_cfg_defaults()
         merged.merge_from_file(str(write_overlay(result, str(tmp_path / "t.yaml"))))
         assert merged.MAPPING.UPDATE_WINDOW == result["best"]["update_window"]
 
-    def test_defaults_win_ties(self, tmp_path):
-        """Equal-fps rows keep the FIRST (shipped-defaults) combination."""
-        rows = [
-            {"fold": "matmul", "sort": "bitonic", "fps": 5.0},
-            {"fold": "scatter", "sort": "radix", "fps": 5.0},
-        ]
-        best = max(rows, key=lambda r: r["fps"])
-        assert best is rows[0]
+    def test_lossy_window_never_wins(self, tmp_path):
+        """A window below the worst-case frame footprint (2.2 * RANGE_MAX /
+        RESOLUTION cells) drops points in production: it is timed and
+        flagged but NEVER selected, even when faster."""
+        cfg = _tiny_cfg(tmp_path)  # RANGE_MAX=100 @ 0.1 m -> required 2200
+        result = tune(
+            cfg,
+            variables=_variables(cfg),
+            image_hw=IMAGE_HW,
+            window=2,
+            n_windows=1,
+            repeats=1,
+            combos=[("matmul", "bitonic")],
+            update_windows=[0, 128],
+            distortion="none",
+        )
+        by_uw = {r["update_window"]: r for r in result["rows"]}
+        assert by_uw[128]["lossy"] and not by_uw[0]["lossy"]
+        assert result["best"]["update_window"] == 0
+
+        import pytest
+
+        with pytest.raises(ValueError, match="lossy"):
+            tune(
+                cfg, variables=_variables(cfg), image_hw=IMAGE_HW,
+                window=2, n_windows=1, repeats=1,
+                combos=[("matmul", "bitonic")], update_windows=[128],
+                distortion="none",
+            )
+
+    def test_defaults_win_ties(self, tmp_path, monkeypatch):
+        """Equal-fps rows keep the FIRST (shipped-defaults) combination —
+        pinned through tune() itself, not Python's max()."""
+        import vision_semantic_segmentation_tpu.runtime.tuning as tuning_mod
+
+        order = []
+
+        def fake_combo(cfg, variables, fold, sort, uw, windows, image_hw,
+                       window, camera, repeats, distortion):
+            order.append((fold, sort))
+            return {
+                "fold": fold, "sort": sort, "update_window": 0,
+                "tuned_update_window": False, "lossy": False,
+                "distortion": "none", "fps": 5.0, "ms_per_frame": 200.0,
+                "warmup_s": 0.0,
+            }
+
+        monkeypatch.setattr(tuning_mod, "_time_combo", fake_combo)
+        monkeypatch.setattr(tuning_mod, "generate_windows", lambda *a, **k: [])
+        monkeypatch.setattr(tuning_mod, "init_variables", lambda *a, **k: {})
+        result = tuning_mod.tune(_tiny_cfg(tmp_path), window=2, n_windows=1)
+        assert order[0] == ("matmul", "bitonic")  # defaults probed first
+        assert (result["best"]["fold"], result["best"]["sort"]) == (
+            "matmul", "bitonic",
+        )
 
 
 class TestAutotuneCLI:

@@ -19,12 +19,16 @@ from __future__ import annotations
 import argparse
 
 
-def _load_app_cfg(config_file: str):
+def _load_app_cfg(config_files):
+    """Merge one or more YAML files over the defaults, in order — so an
+    `autotune` overlay composes directly: ``--cfg exp.yaml --cfg tuned.yaml``."""
     from .config import get_cfg_defaults
 
     cfg = get_cfg_defaults()
-    if config_file:
-        cfg.merge_from_file(config_file)
+    if isinstance(config_files, str):
+        config_files = [config_files] if config_files else []
+    for path in config_files or []:
+        cfg.merge_from_file(path)
     return cfg
 
 
@@ -317,8 +321,8 @@ def cmd_autotune(args):
     The right SORT_METHOD/FOLD_METHOD/UPDATE_WINDOW depend on grid size
     vs points per frame and only compose-level timing decides
     (runtime/tuning.py); the overlay merges on top of the experiment
-    config:  `autotune --cfg exp.yaml --out tuned.yaml` then pass BOTH
-    files (yacs merges in order) or merge tuned.yaml into exp.yaml.
+    config:  `autotune --cfg exp.yaml --out tuned.yaml`, then run with
+    `--cfg exp.yaml --cfg tuned.yaml` (repeated --cfg merges in order).
     """
     from .runtime.tuning import tune, write_overlay
 
@@ -371,7 +375,9 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("replay", help="offline deterministic mapping replay")
-    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--cfg", action="append", default=[], metavar="FILE",
+                   help="experiment YAML; repeat to merge overlays in order "
+                        "(e.g. --cfg exp.yaml --cfg tuned.yaml)")
     p.add_argument("--input-dir", default="")
     p.add_argument(
         "--frame-parallel", action="store_true",
@@ -389,7 +395,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("pipeline", help="run seg+mapping nodes over a recorded bag")
-    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--cfg", action="append", default=[], metavar="FILE",
+                   help="experiment YAML; repeat to merge overlays in order "
+                        "(e.g. --cfg exp.yaml --cfg tuned.yaml)")
     p.add_argument("--bag", required=True, help=".npz sequence or ROS .bag file")
     p.add_argument(
         "--fused", action="store_true",
@@ -436,7 +444,9 @@ def main(argv=None):
     p = sub.add_parser(
         "compile", help="AOT-export the fused pipeline to a serving artifact"
     )
-    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--cfg", action="append", default=[], metavar="FILE",
+                   help="experiment YAML; repeat to merge overlays in order "
+                        "(e.g. --cfg exp.yaml --cfg tuned.yaml)")
     p.add_argument("--out", default="runner.vsstexp")
     p.add_argument("--camera", default="camera1")
     p.add_argument("--height", type=int, default=1440)
@@ -447,7 +457,9 @@ def main(argv=None):
     p = sub.add_parser(
         "quantize", help="calibrate + export an int8 PTQ pack (serving)"
     )
-    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--cfg", action="append", default=[], metavar="FILE",
+                   help="experiment YAML; repeat to merge overlays in order "
+                        "(e.g. --cfg exp.yaml --cfg tuned.yaml)")
     p.add_argument("--calib", required=True,
                    help="recorded sequence (.npz or .bag) to calibrate on")
     p.add_argument("--frames", type=int, default=8,
@@ -460,13 +472,16 @@ def main(argv=None):
         help="measure grid-update backends at this config's shapes; "
         "write a YAML overlay selecting the winner",
     )
-    p.add_argument("--cfg", default="", metavar="FILE")
+    p.add_argument("--cfg", action="append", default=[], metavar="FILE",
+                   help="experiment YAML; repeat to merge overlays in order "
+                        "(e.g. --cfg exp.yaml --cfg tuned.yaml)")
     p.add_argument("--out", default="tuned.yaml")
     p.add_argument("--camera", default="camera1")
     p.add_argument("--height", type=int, default=1440)
     p.add_argument("--width", type=int, default=1920)
-    p.add_argument("--window", type=int, default=8,
-                   help="frames fused per device dispatch while timing")
+    p.add_argument("--window", type=int, default=16,
+                   help="frames fused per device dispatch while timing "
+                        "(>= 16 keeps per-dispatch overhead amortized)")
     p.add_argument("--windows", type=int, default=2,
                    help="distinct timed windows (fresh data each)")
     p.add_argument("--repeats", type=int, default=3, help="best-of repeats")

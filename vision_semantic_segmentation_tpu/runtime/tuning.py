@@ -29,6 +29,7 @@ small host readback barrier.  Timing is weight-independent, so random
 """
 from __future__ import annotations
 
+import math
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -72,12 +73,22 @@ def generate_windows(
     window: int,
     n_windows: int,
     seed: int = 100,
+    span_m: Optional[float] = None,
+    origin_inset_m: Optional[Tuple[float, float]] = None,
 ) -> List[dict]:
     """Distinct on-device frame windows inside the configured boundary.
 
     Points land in a span near the boundary's lower corner with the
     vehicle just behind it facing +x (camera1 sees them); every window
     gets a fresh PRNG key so no dispatch re-fuses cached data.
+
+    The default span is ``2 * MAPPING.PCD.RANGE_MAX`` (clipped to the
+    boundary): a frame's observable footprint is bounded by the LiDAR
+    range, and the UPDATE_WINDOW sweep must be timed against that WORST
+    CASE, not a convenient small cluster — otherwise the tuner would
+    bless a window that silently clips real data.  ``span_m`` /
+    ``origin_inset_m`` override the footprint and its placement
+    (bench.py pins span 40 m at a fixed inset for artifact continuity).
     """
     import jax
     import jax.numpy as jnp
@@ -86,10 +97,16 @@ def generate_windows(
 
     bucket = int(cfg.MAPPING.POINT_BUCKET)
     (bx0, bx1), (by0, by1) = cfg.MAPPING.BOUNDARY
+    range_max = float(cfg.MAPPING.PCD.RANGE_MAX)
     # span scales down for small test grids; margin keeps points interior
-    span = float(min(40.0, 0.8 * (bx1 - bx0), 0.8 * (by1 - by0)))
-    x0m = bx0 + 0.1 * (bx1 - bx0) - float(PCD_ORIGIN_OFFSET[0])
-    y0m = by0 + 0.1 * (by1 - by0) - float(PCD_ORIGIN_OFFSET[1])
+    span = float(min(span_m if span_m is not None else 2.0 * range_max,
+                     0.8 * (bx1 - bx0), 0.8 * (by1 - by0)))
+    inset_x, inset_y = (
+        origin_inset_m if origin_inset_m is not None
+        else (0.1 * (bx1 - bx0), 0.1 * (by1 - by0))
+    )
+    x0m = bx0 + inset_x - float(PCD_ORIGIN_OFFSET[0])
+    y0m = by0 + inset_y - float(PCD_ORIGIN_OFFSET[1])
     position = np.tile(
         np.asarray([x0m - 6.0, y0m + span / 2.0, 0.0], np.float32), (window, 1)
     )
@@ -173,6 +190,17 @@ def _time_combo(
     # production-default evidence matrix (cfg-driven, any label count) —
     # the timed program must be exactly what replay/pipeline would run
     engine = SemanticMappingEngine(combo_cfg)
+    # a pose-centered window smaller than the frame's worst-case footprint
+    # (~2.2 * RANGE_MAX / RESOLUTION cells, config/defaults.py) silently
+    # DROPS out-of-window points in production — faster but not
+    # semantics-preserving, so such rows never win (see tune())
+    uw_val = int(combo_cfg.MAPPING.UPDATE_WINDOW)
+    required = math.ceil(
+        2.2 * float(combo_cfg.MAPPING.PCD.RANGE_MAX)
+        / float(combo_cfg.MAPPING.RESOLUTION)
+    )
+    grid_max = max(engine.grid_spec.height, engine.grid_spec.width)
+    lossy = 0 < uw_val < min(required, grid_max)
     dist = _resolve_distortion(combo_cfg, engine, camera, image_hw, distortion)
     pipeline = FusedFramePipeline(
         combo_cfg, variables, engine=engine, distortion=dist
@@ -199,11 +227,9 @@ def _time_combo(
     return {
         "fold": fold,
         "sort": sort,
-        "update_window": int(
-            combo_cfg.MAPPING.UPDATE_WINDOW if update_window is None
-            else update_window
-        ),
+        "update_window": uw_val,
         "tuned_update_window": update_window is not None,
+        "lossy": lossy,
         "distortion": dist,
         "fps": round(fps, 3),
         "ms_per_frame": round(1000.0 / fps, 3),
@@ -215,7 +241,7 @@ def tune(
     cfg,
     variables=None,
     image_hw: Tuple[int, int] = (1440, 1920),
-    window: int = 8,
+    window: int = 16,
     n_windows: int = 2,
     repeats: int = 3,
     combos: Optional[Sequence[Tuple[str, str]]] = None,
@@ -238,8 +264,11 @@ def tune(
         distortion: 'auto' | 'none' | 'points' (see _resolve_distortion).
 
     Returns a dict with ``rows`` (one measurement per combination, in run
-    order), ``best`` (highest fps; earlier row wins ties, so the shipped
-    defaults survive a wash), and the workload descriptor.
+    order), ``best`` (highest fps among SEMANTICS-PRESERVING rows —
+    update windows smaller than the frame's worst-case footprint drop
+    points in production and are timed for information only; earlier row
+    wins ties, so the shipped defaults survive a wash), and the workload
+    descriptor.
     """
     import jax
 
@@ -265,8 +294,24 @@ def tune(
                     f"update_window={row['update_window']:<5} "
                     f"{row['fps']:8.2f} fps  ({row['ms_per_frame']:.2f} ms/frame, "
                     f"warmup {row['warmup_s']:.0f}s)"
+                    + ("  [LOSSY: drops out-of-window points]"
+                       if row["lossy"] else "")
                 )
-    best = max(rows, key=lambda r: r["fps"])
+    safe = [r for r in rows if not r["lossy"]]
+    if not safe and update_windows:
+        raise ValueError(
+            "every UPDATE_WINDOW candidate is lossy at this config "
+            "(needs >= ceil(2.2 * PCD.RANGE_MAX / RESOLUTION) cells, or 0 "
+            "for the dense update) — add a safe candidate"
+        )
+    if not safe:
+        # no sweep requested and the cfg's own UPDATE_WINDOW is lossy:
+        # still rank fold/sort, but say so
+        if log:
+            log("warning: cfg's UPDATE_WINDOW drops out-of-window points "
+                "at PCD.RANGE_MAX — ranking backends at that setting")
+        safe = rows
+    best = max(safe, key=lambda r: r["fps"])
     return {
         "rows": rows,
         "best": best,

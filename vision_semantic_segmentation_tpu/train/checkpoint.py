@@ -45,6 +45,12 @@ class Checkpoint:
         :meth:`load`, or an explicit :meth:`finish` — so the pointer can
         never reference a torn checkpoint.  At most one save is in
         flight: a new save first drains the previous one.
+
+        Re-saving an existing name (e.g. ``model_latest`` every epoch)
+        writes a fresh ``.vN`` sibling and retires the old directory
+        only after the pointer flips, so resolve checkpoints through
+        the pointer (:meth:`get_checkpoint_file`), not by literal
+        directory name.
         """
         if not self.save_dir or not filename:
             self.logger.warning("Invalid save directory or filename")
@@ -52,6 +58,23 @@ class Checkpoint:
         self.finish()  # at most one in-flight save
         os.makedirs(self.save_dir, exist_ok=True)
         path = osp.join(self.save_dir, filename)
+
+        # NEVER write into an existing committed directory: Orbax's
+        # force=True save rmtree's the destination at ISSUE time and only
+        # renames the replacement in at commit, so for the whole write
+        # window (a full epoch with block=False) the last_checkpoint
+        # pointer would name a deleted directory — a crash there loses
+        # the resume point.  Overwrites divert to a fresh versioned
+        # sibling instead; the pointer flips only after the write
+        # commits, and the superseded director(ies) are removed after
+        # the flip.  The pointer therefore always names an intact,
+        # fully-committed checkpoint.
+        replaced = self._existing_versions(path)
+        if replaced:
+            k = 1
+            while osp.exists(f"{path}.v{k}"):
+                k += 1
+            path = f"{path}.v{k}"
 
         payload = {
             "params": self.state.params,
@@ -64,15 +87,41 @@ class Checkpoint:
         self._checkpointer.save(path, payload, force=True)
         if block:
             self._checkpointer.wait_until_finished()
-            self._finalize(path, kwargs)
+            self._finalize(path, kwargs, replaced)
         else:
-            self._pending = (path, dict(kwargs))
+            self._pending = (path, dict(kwargs), replaced)
 
-    def _finalize(self, path: str, extras: Dict[str, Any]) -> None:
+    def _existing_versions(self, path: str) -> list:
+        """Committed directories holding ``path``'s checkpoint — the plain
+        name plus any ``.vN`` siblings from earlier overwrites — ordered
+        oldest-first (plain, then ascending N)."""
+        import glob
+        import re
+
+        def _ver(p):
+            m = re.fullmatch(re.escape(path) + r"\.v(\d+)", p)
+            return int(m.group(1)) if m else 0
+
+        out = [p for p in [path] + glob.glob(path + ".v*")
+               if osp.isdir(p)
+               and re.fullmatch(re.escape(path) + r"(\.v\d+)?", p)]
+        return sorted(out, key=_ver)
+
+    def _finalize(self, path: str, extras: Dict[str, Any], replaced=()) -> None:
         # extras (arbitrary scalars, e.g. best_metric) ride in a side file
         with open(path + ".extras.json", "w") as f:
             json.dump({k: float(np.asarray(v)) for k, v in extras.items()}, f)
         self.update_last_checkpoint(path)
+        # only after the pointer names the new checkpoint: retire the
+        # superseded version(s) of this filename
+        import shutil
+
+        for old in replaced:
+            shutil.rmtree(old, ignore_errors=True)
+            try:
+                os.remove(old + ".extras.json")
+            except OSError:
+                pass
 
     def finish(self) -> None:
         """Drain an in-flight non-blocking save and commit its pointer.
@@ -83,10 +132,10 @@ class Checkpoint:
         """
         if self._pending is None:
             return
-        path, extras = self._pending
+        path, extras, replaced = self._pending
         self._pending = None
         self._checkpointer.wait_until_finished()
-        self._finalize(path, extras)
+        self._finalize(path, extras, replaced)
 
     # -- load ----------------------------------------------------------------
     def load(
@@ -107,6 +156,18 @@ class Checkpoint:
         if not filename:
             self.logger.info("No checkpoint found. Initializing model from scratch")
             return {}
+        if not osp.isabs(filename) and not osp.exists(filename):
+            # bare names resolve under save_dir (cwd-relative paths, e.g.
+            # MODEL.WEIGHT, keep working when they exist)
+            cand = osp.join(self.save_dir, filename)
+            if osp.exists(cand) or self._existing_versions(cand):
+                filename = cand
+        if not osp.exists(filename):
+            # an explicitly-named checkpoint may live under a ``.vN``
+            # sibling after overwrites (see save); load the newest
+            versions = self._existing_versions(filename)
+            if versions:
+                filename = versions[-1]
         self.logger.info(f"Loading checkpoint from {filename}")
 
         template = {

@@ -531,41 +531,53 @@ class Trainer:
         self.resume()
         start_epoch = int(self.state.step) // max(len(train_loader), 1)
 
-        for epoch in range(start_epoch, cfg.SCHEDULER.MAX_EPOCH):
-            train_loader.set_epoch(epoch)
-            meters = self.train_one_epoch(train_loader, epoch)
-            self._log(f"Epoch[{epoch}] done: {meters.summary_str}")
-            mem = _device_memory_mb()
-            if mem is not None:
-                # TPU analogue of the reference's CUDA max-memory log
-                # (ref train.py:90-100)
-                self._log(f"Epoch[{epoch}] device HBM in use: {mem:.0f} MiB")
-            if self._tb is not None:
-                self._tb.add_scalar("train/loss", meters.meters["loss"].global_avg, epoch)
+        try:
+            for epoch in range(start_epoch, cfg.SCHEDULER.MAX_EPOCH):
+                train_loader.set_epoch(epoch)
+                meters = self.train_one_epoch(train_loader, epoch)
+                self._log(f"Epoch[{epoch}] done: {meters.summary_str}")
+                mem = _device_memory_mb()
+                if mem is not None:
+                    # TPU analogue of the reference's CUDA max-memory log
+                    # (ref train.py:90-100)
+                    self._log(f"Epoch[{epoch}] device HBM in use: {mem:.0f} MiB")
+                if self._tb is not None:
+                    self._tb.add_scalar(
+                        "train/loss", meters.meters["loss"].global_avg, epoch
+                    )
 
-            self.checkpoint.state = self.state
-            # non-blocking saves overlap Orbax's serialize+write with the
-            # next epoch's dispatches; save()/load()/finish() commit them
-            block = not bool(getattr(cfg.TRAIN, "ASYNC_CHECKPOINT", False))
-            if cfg.TRAIN.CHECKPOINT_PERIOD and (epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0:
-                self.checkpoint.save(
-                    f"model_{epoch:03d}", block=block, best_metric=self.best_metric
+                self.checkpoint.state = self.state
+                # non-blocking saves overlap Orbax's serialize+write with
+                # the next epoch's dispatches; save()/load()/finish()
+                # commit them.  ONE save per epoch: on period epochs the
+                # pointer lands on the numbered checkpoint (a separate
+                # model_latest save would immediately drain the numbered
+                # save's background write, forfeiting the overlap)
+                block = not bool(getattr(cfg.TRAIN, "ASYNC_CHECKPOINT", False))
+                period = cfg.TRAIN.CHECKPOINT_PERIOD
+                name = (
+                    f"model_{epoch:03d}"
+                    if period and (epoch + 1) % period == 0
+                    else "model_latest"
                 )
-            self.checkpoint.save(
-                "model_latest", block=block, best_metric=self.best_metric
-            )
+                self.checkpoint.save(name, block=block, best_metric=self.best_metric)
 
-            if val_loader is not None and cfg.VALIDATE.PERIOD and (
-                (epoch + 1) % cfg.VALIDATE.PERIOD == 0
-            ):
-                miou = self.validate(val_loader, epoch)
-                if miou > self.best_metric:
-                    self.best_metric = miou
-                    self.checkpoint.state = self.state
-                    self.checkpoint.save("model_best", best_metric=self.best_metric)
-                    self._log(f"New best mIoU {miou:.4f}")
-
-        self.checkpoint.finish()  # commit any in-flight non-blocking save
+                if val_loader is not None and cfg.VALIDATE.PERIOD and (
+                    (epoch + 1) % cfg.VALIDATE.PERIOD == 0
+                ):
+                    miou = self.validate(val_loader, epoch)
+                    if miou > self.best_metric:
+                        self.best_metric = miou
+                        self.checkpoint.state = self.state
+                        self.checkpoint.save(
+                            "model_best", best_metric=self.best_metric
+                        )
+                        self._log(f"New best mIoU {miou:.4f}")
+        finally:
+            # commit an in-flight non-blocking save even when an epoch
+            # raises: the write already happened, only the pointer flip
+            # is outstanding
+            self.checkpoint.finish()
 
 
 def train(cfg, output_dir: str = "", logger=None) -> Trainer:
