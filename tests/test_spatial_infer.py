@@ -102,3 +102,59 @@ class TestSpatialForward:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-5
         )
+
+
+class TestPredictorSpatialShards:
+    """MODEL.SPATIAL_SHARDS through SemanticSegmentation: the config knob
+    activates row-banded serving inside the predictor's cached forwards;
+    sharded output must equal the single-device predictor exactly."""
+
+    def _cfg(self):
+        cfg = get_demo_cfg_defaults()
+        cfg.MODEL.TYPE = "DeepLabv3+"
+        cfg.DATASET.NUM_CLASSES = 7
+        cfg.MODEL.BACKBONE = "resnet18"
+        cfg.MODEL.OUTPUT_STRIDE = 16
+        cfg.MODEL.ASPP.OUT_CHANNELS = 16
+        cfg.MODEL.ASPP.ATROUS_CHANNELS = [16, 16, 16, 16]
+        cfg.MODEL.DECODER.LOW_LEVEL_OUT_CHANNELS = 8
+        cfg.MODEL.DECODER.REFINE_CHANNELS = [16, 16]
+        cfg.MODEL.COMPUTE_DTYPE = "float32"  # exact-equality comparison
+        return cfg
+
+    def test_matches_single_device_predictor(self, rng, small_net):
+        from vision_semantic_segmentation_tpu.inference.predictor import (
+            SemanticSegmentation,
+        )
+
+        _, variables = small_net
+        image = (rng.random((128, 96, 3)) * 255).astype(np.uint8)
+
+        base = SemanticSegmentation(self._cfg(), variables=variables)
+        ref = base.segmentation(image, upsample_pred=True)
+
+        cfg = self._cfg()
+        cfg.MODEL.SPATIAL_SHARDS = 4
+        sharded = SemanticSegmentation(cfg, variables=variables)
+        assert sharded._mesh is not None
+        out = sharded.segmentation(image, upsample_pred=True)
+        assert out.shape == ref.shape
+        np.testing.assert_array_equal(out, ref)
+
+        # the confidence head shards identically (labels exact, softmax
+        # probabilities re-associate nothing)
+        ref_lab, ref_conf = base.segmentation_with_confidence(image)
+        lab, conf = sharded.segmentation_with_confidence(image)
+        np.testing.assert_array_equal(lab, ref_lab)
+        np.testing.assert_allclose(conf, ref_conf, atol=1e-6)
+
+    def test_too_few_devices_raises(self, small_net):
+        from vision_semantic_segmentation_tpu.inference.predictor import (
+            SemanticSegmentation,
+        )
+
+        _, variables = small_net
+        cfg = self._cfg()
+        cfg.MODEL.SPATIAL_SHARDS = 99
+        with pytest.raises(ValueError, match="devices"):
+            SemanticSegmentation(cfg, variables=variables)

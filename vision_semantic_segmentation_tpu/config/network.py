@@ -221,4 +221,8 @@ def get_demo_cfg_defaults() -> CN:
     # optional int8 PTQ pack produced by the `quantize` CLI command
     # (models/quant.py); when set, the predictor serves the int8 path
     _C.MODEL.QPACK = ""
+    # spatially-sharded (model-parallel) serving: > 1 bands every frame's
+    # rows over that many devices with GSPMD conv halo exchanges — exact,
+    # cuts single-frame latency below one chip (parallel/spatial_infer.py)
+    _C.MODEL.SPATIAL_SHARDS = 0
     return _C

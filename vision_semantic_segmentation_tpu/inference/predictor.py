@@ -62,6 +62,30 @@ class SemanticSegmentation:
                 variables = load_npz(weight)
         self.variables = jax.tree.map(jnp.asarray, variables)
 
+        # Spatially-sharded (model-parallel) serving: every frame's rows
+        # band over a ('grid',) mesh and GSPMD inserts the conv halo
+        # exchanges over ICI — the idiomatic way to cut single-frame
+        # latency below one chip (parallel/spatial_infer.py design notes;
+        # exact: spatial partitioning re-associates no reduction).  0/1 =
+        # off.  Prefer H % shards == 0 input heights.
+        shards = (
+            int(cfg.MODEL.SPATIAL_SHARDS) if "SPATIAL_SHARDS" in cfg.MODEL else 0
+        )
+        self._mesh = None
+        if shards > 1:
+            devices = jax.devices()
+            if len(devices) < shards:
+                raise ValueError(
+                    f"MODEL.SPATIAL_SHARDS={shards} needs {shards} devices; "
+                    f"{len(devices)} visible"
+                )
+            from jax.sharding import Mesh
+
+            from ..parallel.spatial_infer import replicate_variables
+
+            self._mesh = Mesh(np.asarray(devices[:shards]), ("grid",))
+            self.variables = replicate_variables(self._mesh, self.variables)
+
         # host numpy, captured by the jitted forwards: a jnp device array
         # captured as a closure constant costs a ~39 s tunnel readback at
         # every lowering in this dev environment (ROUND_NOTES r03)
@@ -123,10 +147,29 @@ class SemanticSegmentation:
         )
 
     # -- compiled paths ------------------------------------------------------
+    def _jit_forward(self, fn):
+        """jit ``fn(variables, qpack, image_u8)``; with spatial serving on,
+        pin (replicated, replicated, row-banded) in_shardings so GSPMD
+        partitions the forward along H (image must arrive NHWC 4-d)."""
+        if self._mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self._mesh, P())
+        row = NamedSharding(self._mesh, P(None, "grid"))
+        return jax.jit(fn, in_shardings=(rep, rep, row))
+
+    def _stage_image(self, image) -> Array:
+        """Host image -> dispatch-ready array (batch dim required when the
+        in_shardings spec is the 4-d row-banded one)."""
+        arr = jnp.asarray(image)
+        if self._mesh is not None and arr.ndim == 3:
+            arr = arr[None]
+        return arr
+
     def _forward(self, upsample_pred: bool):
         quantized = self.qpack is not None
 
-        @jax.jit
         def fwd(variables, qpack, image_u8):
             x = image_u8.astype(jnp.float32) / 255.0
             x = (x - self._mean) / self._std
@@ -137,7 +180,7 @@ class SemanticSegmentation:
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        return fwd
+        return self._jit_forward(fwd)
 
     def segmentation(self, image: np.ndarray, upsample_pred: bool = False) -> np.ndarray:
         """uint8 RGB (H, W, 3) -> int32 label map (ref :41-57).
@@ -154,7 +197,7 @@ class SemanticSegmentation:
         else:
             self._forward_cache.move_to_end(key)
         preds = self._forward_cache[key](
-            self.variables, self.qpack, jnp.asarray(image)
+            self.variables, self.qpack, self._stage_image(image)
         )
         return np.asarray(preds[0] if preds.shape[0] == 1 else preds)
 
@@ -175,7 +218,6 @@ class SemanticSegmentation:
                 self._forward_cache.popitem(last=False)
             quantized = self.qpack is not None
 
-            @jax.jit
             def fwd(variables, qpack, image_u8):
                 x = image_u8.astype(jnp.float32) / 255.0
                 x = (x - self._mean) / self._std
@@ -188,11 +230,11 @@ class SemanticSegmentation:
                 conf = jnp.max(jax.nn.softmax(logits.astype(jnp.float32), axis=-1), axis=-1)
                 return labels, conf
 
-            self._forward_cache[key] = fwd
+            self._forward_cache[key] = self._jit_forward(fwd)
         else:
             self._forward_cache.move_to_end(key)
         labels, conf = self._forward_cache[key](
-            self.variables, self.qpack, jnp.asarray(image)
+            self.variables, self.qpack, self._stage_image(image)
         )
         squeeze = labels.shape[0] == 1
         labels = np.asarray(labels[0] if squeeze else labels)
