@@ -161,3 +161,28 @@ class TestPredictorSpatialShards:
         cfg.MODEL.SPATIAL_SHARDS = 99
         with pytest.raises(ValueError, match="devices"):
             SemanticSegmentation(cfg, variables=variables)
+
+    def test_composes_with_int8_qpack(self, rng, small_net):
+        """MODEL.SPATIAL_SHARDS x int8 PTQ: the quantized forward also
+        GSPMD-partitions along H (qpack rides as a replicated argument);
+        sharded int8 labels == single-device int8 labels exactly."""
+        from vision_semantic_segmentation_tpu.inference.predictor import (
+            SemanticSegmentation,
+        )
+
+        _, variables = small_net
+        image = (rng.random((128, 96, 3)) * 255).astype(np.uint8)
+        calib = [
+            (rng.random((128, 96, 3)) * 255).astype(np.uint8) for _ in range(2)
+        ]
+
+        base = SemanticSegmentation(self._cfg(), variables=variables)
+        base.quantize(calib)
+        ref = base.segmentation(image)
+
+        cfg = self._cfg()
+        cfg.MODEL.SPATIAL_SHARDS = 4
+        sharded = SemanticSegmentation(cfg, variables=variables)
+        sharded.quantize(calib)
+        out = sharded.segmentation(image)
+        np.testing.assert_array_equal(out, ref)
