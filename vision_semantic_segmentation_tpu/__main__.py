@@ -358,6 +358,35 @@ def cmd_autotune(args):
     return result
 
 
+def cmd_profile(args):
+    """Stage-level timing of the fused pipeline at this config's shapes
+    on this device: NULL-corrected forward / fusion / e2e ms per frame
+    plus throughput (runtime/profiling.py).  The framework counterpart
+    of the reference's model_timer (ref core/utils/benchmark.py:17-25)."""
+    import json
+
+    from .runtime.profiling import format_report, profile_stages
+
+    cfg = _load_app_cfg(args.cfg)
+    result = profile_stages(
+        cfg,
+        image_hw=(args.height, args.width),
+        window=args.window,
+        n_windows=args.windows,
+        repeats=args.repeats,
+        camera=args.camera,
+        distortion=args.distortion,
+        confidence_weighting=args.confidence,
+        log=print,
+    )
+    print(format_report(result))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"wrote {args.json}")
+    return result
+
+
 def cmd_video(args):
     from .config import get_demo_cfg_defaults, resolve_output_dir
 
@@ -493,6 +522,30 @@ def main(argv=None):
     p.add_argument("--distortion", default="auto",
                    choices=["auto", "none", "points"])
     p.set_defaults(fn=cmd_autotune)
+
+    p = sub.add_parser(
+        "profile",
+        help="stage-level timing (forward/fusion/e2e) of the fused "
+        "pipeline at this config's shapes on this device",
+    )
+    p.add_argument("--cfg", action="append", default=[], metavar="FILE",
+                   help="experiment YAML; repeat to merge overlays in order")
+    p.add_argument("--camera", default="camera1")
+    p.add_argument("--height", type=int, default=1440)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--window", type=int, default=16,
+                   help="frames fused per device dispatch while timing "
+                        "(>= 16 keeps per-dispatch overhead amortized)")
+    p.add_argument("--windows", type=int, default=2,
+                   help="distinct timed windows (fresh data each)")
+    p.add_argument("--repeats", type=int, default=3, help="best-of repeats")
+    p.add_argument("--distortion", default="auto",
+                   choices=["auto", "none", "points"])
+    p.add_argument("--confidence", action="store_true",
+                   help="profile the confidence-weighted fusion path")
+    p.add_argument("--json", default="", metavar="FILE",
+                   help="also write the result dict as JSON")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("video", help="segmentation overlay video demo")
     p.add_argument("--cfg", default="", metavar="FILE")

@@ -104,29 +104,20 @@ class FusedFramePipeline:
     def init_grid(self) -> Array:
         return self.engine.init_grid()
 
-    def _build(self, camera: str, image_hw: Tuple[int, int], velodyne_frame: bool):
-        confidence = self.confidence_weighting
-        pointwise = self.engine._build_pointwise(
-            camera, velodyne_frame, image_is_class_id=True, image_full_hw=image_hw,
-            distorted_image=(self.distortion == "points"),
-            return_pixels=confidence,
-        )
-        apply_update = self.engine._build_update()
+    def _build_segmentation(self, camera: str, image_hw: Tuple[int, int]):
+        """The segmentation prologue of the fused step: raw uint8 frame ->
+        logits ``(1, h', w', C)`` (undistort/scale/normalize/forward, ref
+        node:82-110).  Shared by :meth:`_build` and the stage profiler
+        (`runtime/profiling.py`) so the timed forward can never drift from
+        the production program."""
         model = self.model
         mean = np.asarray(IMAGENET_MEAN, dtype=np.float32)
         std = np.asarray(IMAGENET_STD, dtype=np.float32)
-        table = np.asarray(self.channel_table)
         scale = self.image_scale
         full_hw = image_hw
         undistort_map = self._undistort_maps.get(camera)
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def step(variables, grid, frame_u8, pcd, valid, position, quaternion):
-            # NOTE: model variables are explicit arguments, not closure
-            # captures — closed-over arrays become executable-embedded
-            # constants, which this runtime handles pathologically for
-            # ~100MB parameter trees.
-            # segmentation (ref node:82-110, fused)
+        def seg(variables, frame_u8):
             x = frame_u8
             if undistort_map is not None:
                 from ..ops.warp import undistort as undistort_op
@@ -136,7 +127,29 @@ class FusedFramePipeline:
                 x = resize_area(x, (int(full_hw[0] * scale), int(full_hw[1] * scale)))
             xf = x.astype(jnp.float32) / 255.0
             xf = (xf - mean) / std
-            logits = model.apply(variables, xf[None], train=False, upsample_pred=False)
+            return model.apply(variables, xf[None], train=False, upsample_pred=False)
+
+        return seg
+
+    def _build(self, camera: str, image_hw: Tuple[int, int], velodyne_frame: bool):
+        confidence = self.confidence_weighting
+        pointwise = self.engine._build_pointwise(
+            camera, velodyne_frame, image_is_class_id=True, image_full_hw=image_hw,
+            distorted_image=(self.distortion == "points"),
+            return_pixels=confidence,
+        )
+        apply_update = self.engine._build_update()
+        seg = self._build_segmentation(camera, image_hw)
+        table = np.asarray(self.channel_table)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(variables, grid, frame_u8, pcd, valid, position, quaternion):
+            # NOTE: model variables are explicit arguments, not closure
+            # captures — closed-over arrays become executable-embedded
+            # constants, which this runtime handles pathologically for
+            # ~100MB parameter trees.
+            # segmentation (ref node:82-110, fused)
+            logits = seg(variables, frame_u8)
             net_labels = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
             # channel image stays at decoder resolution; the engine gathers
             # with nearest-downscaled indices (exact INTER_NEAREST
