@@ -78,10 +78,21 @@ class TestTrainerValidation:
         trainer.fit(train_loader=Loader(), val_loader=Loader())
 
         assert osp.exists(osp.join(tmp_path, "last_checkpoint"))
-        assert osp.exists(osp.join(tmp_path, "model_latest"))
+        # re-saves of the same name divert to fresh .vN siblings and retire
+        # the superseded dir (crash-safe overwrites — the pointer can never
+        # name a torn checkpoint), so assert the newest committed version
+        # exists and the pointer names a real directory
+        def committed(name):
+            import glob
+
+            return [p for p in glob.glob(osp.join(tmp_path, name + "*"))
+                    if osp.isdir(p)]
+
+        assert committed("model_latest")
+        assert osp.isdir(trainer.checkpoint.get_checkpoint_file())
         # perfect separable toy problem -> best model saved with good mIoU
         assert trainer.best_metric > 0.5
-        assert osp.exists(osp.join(tmp_path, "model_best"))
+        assert committed("model_best")
 
         # resume picks up best_metric
         trainer2 = Trainer(cfg, output_dir=str(tmp_path))
