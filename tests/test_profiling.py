@@ -58,11 +58,10 @@ class TestProfileStages:
         assert result["forward_ms_raw"] > 0
         assert result["e2e_ms_raw"] > 0
         assert result["e2e_fps"] > 0
-        # corrected stages are raw minus NULL, floored at zero
-        assert result["forward_ms"] == max(
-            round(result["forward_ms_raw"] - result["null_ms"], 3), 0.0
-        ) or abs(
-            result["forward_ms"] - (result["forward_ms_raw"] - result["null_ms"])
+        # corrected stage is raw minus NULL, floored at zero (to rounding)
+        assert abs(
+            result["forward_ms"]
+            - max(result["forward_ms_raw"] - result["null_ms"], 0.0)
         ) < 2e-3
         assert result["fusion_ms"] >= 0
         assert result["distortion"] == "none"
@@ -71,6 +70,15 @@ class TestProfileStages:
         assert any("e2e" in ln for ln in lines)
         summary = format_report(result)
         assert "fps" in summary and "forward" in summary
+
+    def test_rejects_degenerate_window_counts(self, tmp_path):
+        import pytest
+
+        cfg = _tiny_cfg(tmp_path)
+        with pytest.raises(ValueError, match="window"):
+            profile_stages(cfg, image_hw=IMAGE_HW, window=0, n_windows=1)
+        with pytest.raises(ValueError, match="n_windows"):
+            profile_stages(cfg, image_hw=IMAGE_HW, window=2, n_windows=0)
 
     def test_confidence_path_profiles(self, tmp_path):
         cfg = _tiny_cfg(tmp_path)

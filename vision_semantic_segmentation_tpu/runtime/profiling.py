@@ -86,6 +86,11 @@ def profile_stages(
     from .pipeline import FusedFramePipeline
     from .tuning import _resolve_distortion, generate_windows, init_variables
 
+    if window < 1 or n_windows < 1:
+        raise ValueError(
+            f"window and n_windows must be >= 1 (got window={window}, "
+            f"n_windows={n_windows})"
+        )
     if variables is None:
         variables = init_variables(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK)
     engine = SemanticMappingEngine(cfg)
@@ -97,10 +102,12 @@ def profile_stages(
     windows = generate_windows(cfg, image_hw, window, n_windows)
 
     # NULL: the dispatch round-trip amortized over the window — reads one
-    # pixel so the scan cannot be constant-folded away
+    # pixel so the scan cannot be constant-folded away.  The full variables
+    # tree is passed (and ignored) so per-dispatch argument handling is
+    # identical to the forward/e2e measurements it corrects.
     null_ms = _aot_scan_ms(
         lambda v, fr: fr["image"][0, 0, 0].astype(jnp.float32) * 0.0,
-        {}, windows, window, repeats,
+        pipeline.variables, windows, window, repeats,
     )
     if log:
         log(f"{'NULL (dispatch overhead/frame)':38s} {null_ms:8.2f} ms")
