@@ -91,6 +91,15 @@ def _train_base() -> CN:
     # dispatching; the last_checkpoint pointer commits only when the
     # write completes (train/checkpoint.py::Checkpoint.save(block=False))
     _C.TRAIN.ASYNC_CHECKPOINT = False
+    # Preemption-safe training (TPU-specific; the reference has no failure
+    # handling at all — SURVEY.md §5 "failure detection: None"): while
+    # fit() runs, SIGTERM requests a checkpoint at the next step boundary;
+    # the state (params/BN/optimizer/step/rng) commits via the
+    # last_checkpoint pointer and fit() returns cleanly.  AUTO_RESUME then
+    # continues MID-EPOCH from the exact saved step (deterministic loaders
+    # replay the skipped batches), so a preempted-and-resumed run matches
+    # an uninterrupted one step-for-step.
+    _C.TRAIN.PREEMPTION_SAFE = True
     _C.TRAIN.LOG_PERIOD = DISABLE
     # TPU-specific (no reference equivalent): train steps fused per device
     # dispatch via lax.scan. Dispatch overhead is per call and scales with

@@ -22,6 +22,7 @@ import numpy as np
 from ..models.build import build_model
 from ..parallel.mesh import (
     create_mesh,
+    replicated,
     shard_batch,
     shard_spatial_batch,
     shard_stacked_batches,
@@ -291,6 +292,10 @@ class Trainer:
         # checkpointing (ref train.py:188-195)
         self.checkpoint = Checkpoint(self.state, save_dir=output_dir or ".", logger=logger)
         self.best_metric = float("-inf")
+        # preemption flag: set by the SIGTERM handler (or request_preempt),
+        # checked at step boundaries (TPU pods preempt with a grace window;
+        # the reference has no failure handling, SURVEY.md §5)
+        self._preempted = False
 
         self._tb = None
         if tensorboard and output_dir:
@@ -308,6 +313,43 @@ class Trainer:
         else:
             print(msg)
 
+    def request_preempt(self) -> None:
+        """Ask the epoch loop to checkpoint + stop at the next step boundary.
+
+        Thread-safe (sets a flag read by the training loop); also the body
+        of the SIGTERM handler :meth:`fit` installs when
+        ``TRAIN.PREEMPTION_SAFE``.
+        """
+        self._preempted = True
+
+    def _install_preempt_handlers(self):
+        """SIGTERM -> request_preempt while fit() runs.  Returns a restore
+        callable.  Signal handlers only install from the main thread; from
+        a worker thread this degrades to request_preempt()-only (logged)."""
+        import signal
+
+        previous = {}
+
+        def handler(signum, frame):
+            self._log(
+                f"signal {signum}: checkpointing at the next step boundary"
+            )
+            self.request_preempt()
+
+        try:
+            previous[signal.SIGTERM] = signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            self._log(
+                "not the main thread: SIGTERM handler not installed "
+                "(preemption still available via request_preempt())"
+            )
+
+        def restore():
+            for sig, prev in previous.items():
+                signal.signal(sig, prev)
+
+        return restore
+
     def resume(self) -> Dict:
         """AUTO_RESUME / RESUME_STATES handling (ref train.py:194-199)."""
         extras = self.checkpoint.load(
@@ -315,7 +357,11 @@ class Trainer:
             resume=self.cfg.AUTO_RESUME,
             resume_states=self.cfg.RESUME_STATES,
         )
-        self.state = self.checkpoint.state
+        # Orbax restores committed to one device; the jitted steps need the
+        # state co-addressable with mesh-sharded batches, so re-place it
+        # replicated over the training mesh (matches initial placement)
+        self.state = jax.device_put(self.checkpoint.state, replicated(self.mesh))
+        self.checkpoint.state = self.state
         if "best_metric" in extras:
             self.best_metric = float(extras["best_metric"])
         return extras
@@ -421,14 +467,25 @@ class Trainer:
         """Synchronous dispatch + drain (single-group convenience)."""
         return self._drain_group(self._dispatch_group_async(group))
 
-    def train_one_epoch(self, dataloader, epoch: int) -> MeterLogger:
+    def train_one_epoch(
+        self, dataloader, epoch: int, skip_steps: int = 0
+    ) -> MeterLogger:
+        """One epoch of training.
+
+        ``skip_steps`` discards that many leading batches without
+        dispatching them — the mid-epoch resume path: a preempted run
+        saved its state at ``step = epoch * len + skip``, and a
+        deterministic loader replays the same order, so skipping lands
+        exactly on the first untrained batch.
+        """
         meters = MeterLogger()
         self.train_metric.reset()
         log_period = self.cfg.TRAIN.LOG_PERIOD
         k = self._steps_per_dispatch
         end = time.perf_counter()
 
-        iteration = 0
+        iteration = skip_steps
+        skipped = 0
         group = []
         pending_data_time = 0.0
         # one-deep dispatch pipeline: group i+1 is uploaded + dispatched
@@ -476,6 +533,12 @@ class Trainer:
             inflight = (handle, data_time)
 
         for batch in dataloader:
+            if skipped < skip_steps:
+                skipped += 1
+                end = time.perf_counter()
+                continue
+            if self._preempted:
+                break
             now = time.perf_counter()
             pending_data_time += now - end
             end = now
@@ -489,6 +552,11 @@ class Trainer:
             })
             if len(group) == k:
                 flush()
+        if self._preempted:
+            # discard the partially-collected group: those batches were
+            # never dispatched, so state.step does not count them and the
+            # resume replays them (skip = step % steps_per_epoch)
+            group = []
         flush()  # epoch remainder (< k batches) runs per-step
         drain()  # realize the last in-flight group
         return meters
@@ -529,12 +597,37 @@ class Trainer:
                 val_loader = PrefetchLoader(val_loader, depth=prefetch)
 
         self.resume()
-        start_epoch = int(self.state.step) // max(len(train_loader), 1)
+        # mid-epoch resume: a preemption checkpoint lands at an arbitrary
+        # step; replay the epoch containing it and skip its completed steps
+        steps_per_epoch = max(len(train_loader), 1)
+        start_epoch = int(self.state.step) // steps_per_epoch
+        skip_steps = int(self.state.step) % steps_per_epoch
 
+        restore_handlers = (
+            self._install_preempt_handlers()
+            if bool(getattr(cfg.TRAIN, "PREEMPTION_SAFE", True))
+            else (lambda: None)
+        )
         try:
             for epoch in range(start_epoch, cfg.SCHEDULER.MAX_EPOCH):
                 train_loader.set_epoch(epoch)
-                meters = self.train_one_epoch(train_loader, epoch)
+                meters = self.train_one_epoch(
+                    train_loader, epoch,
+                    skip_steps=skip_steps if epoch == start_epoch else 0,
+                )
+                if self._preempted:
+                    # blocking save (durability beats overlap on the way
+                    # out); commits any pending async save first
+                    self.checkpoint.state = self.state
+                    self.checkpoint.save(
+                        "model_latest", block=True, best_metric=self.best_metric
+                    )
+                    self._log(
+                        f"preempted at step {int(self.state.step)}: "
+                        "checkpoint committed, stopping (AUTO_RESUME "
+                        "continues from this exact step)"
+                    )
+                    return
                 self._log(f"Epoch[{epoch}] done: {meters.summary_str}")
                 mem = _device_memory_mb()
                 if mem is not None:
@@ -578,6 +671,7 @@ class Trainer:
             # raises: the write already happened, only the pointer flip
             # is outstanding
             self.checkpoint.finish()
+            restore_handlers()
 
 
 def train(cfg, output_dir: str = "", logger=None) -> Trainer:
