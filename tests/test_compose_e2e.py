@@ -17,7 +17,14 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from test_e2e_golden import BOUNDARY, RES, _pose, render_frame, scene_class, write_ground_truth
+from vision_semantic_segmentation_tpu.evaluation.synthetic_scene import (
+    BOUNDARY,
+    RES,
+    pose as _pose,
+    render_frame,
+    scene_class,
+    write_ground_truth,
+)
 from vision_semantic_segmentation_tpu.config import get_cfg_defaults
 from vision_semantic_segmentation_tpu.geometry.camera import (
     camera_setup_1,
@@ -81,7 +88,9 @@ def _scene_frames():
 
 def _point_map():
     """One point per scene grid cell center (as in the golden fixture)."""
-    from test_e2e_golden import make_point_map
+    from vision_semantic_segmentation_tpu.evaluation.synthetic_scene import (
+        make_point_map,
+    )
 
     return make_point_map()
 

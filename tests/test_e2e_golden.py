@@ -27,233 +27,32 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vision_semantic_segmentation_tpu.config import get_cfg_defaults
-from vision_semantic_segmentation_tpu.geometry.camera import camera_setup_1
-from vision_semantic_segmentation_tpu.geometry.transforms import pose_to_matrix
-from vision_semantic_segmentation_tpu.mapping import PCD_ORIGIN_OFFSET
-from vision_semantic_segmentation_tpu.mapping.engine import velodyne_to_baselink
+# The scene generator is a package feature (evaluation/synthetic_scene.py,
+# shared with `autotune --serving`'s quality scorer); this module is the
+# e2e quality GATE built on it.
+from vision_semantic_segmentation_tpu.evaluation.synthetic_scene import (
+    BOUNDARY,
+    GRID_HW,
+    INPUT_COLORS,
+    NET_IDS,
+    RES,
+    make_point_map,
+    make_poses,
+    pose as _pose,
+    render_frame,
+    scene_class,
+    scene_network_cfg,
+    train_segmenter,
+    write_ground_truth,
+)
 from vision_semantic_segmentation_tpu.runtime.io import FrameRecord, save_frames
 
-# --------------------------------------------------------------------------
-# Scene definition (map coords = world + PCD_ORIGIN_OFFSET, meters).
-# All region edges are multiples of 0.4 m from the boundary minimum so they
-# align with both the 0.2 m grid cells and the 8-px JPEG blocks of the 5 cm
-# ground-truth images (exact ground truth survives JPEG + 4x downsample).
-# --------------------------------------------------------------------------
-RES = 0.2
-BOUNDARY = [[100.0, 140.0], [800.0, 840.0]]
-GRID_HW = (200, 200)
-
-# scene class ids: 0 background, 1 road, 2 crosswalk, 3 lane, 4 sky
-BG, ROAD, CROSS, LANE, SKY = 0, 1, 2, 3, 4
-# distinct *input* colors the network learns to segment
-INPUT_COLORS = np.array(
-    [[60, 60, 60], [105, 105, 105], [200, 60, 60], [240, 240, 80], [70, 130, 180]],
-    dtype=np.uint8,
-)
-# network class ids (mapillary-19) per scene class: cfg.LABELS=[2,1,8,10,3]
-# maps network ids road=2, crosswalk=1, lane=8; background/sky to ids the
-# mapping ignores (ref base_cfg.py:47-57)
-NET_IDS = np.array([5, 2, 1, 8, 0], dtype=np.int32)
-
-
-def scene_class(mx, my):
-    """Evaluate the scene at map coords (vectorized)."""
-    cls = np.full(np.shape(mx), BG, dtype=np.int32)
-    road = (mx >= 104.0) & (mx < 136.0) & (my >= 804.0) & (my < 836.0)
-    cls[road] = ROAD
-    lane = road & (
-        ((my >= 812.4) & (my < 813.2)) | ((my >= 826.8) & (my < 827.6))
-    )
-    cls[lane] = LANE
-    cross = (mx >= 112.0) & (mx < 117.6) & (my >= 808.0) & (my < 832.0)
-    cls[cross] = CROSS
-    return cls
-
-
-def write_ground_truth(gt_dir):
-    """Emit the evaluator's bev-5cm-{road,crosswalks,lanes,mask}.jpg layers.
-
-    5 cm/px over the 40 m x 40 m scene -> 800x800; rows index x like the
-    generated maps (ref test_semantic_mapping.py:45-69).
-    """
-    import cv2
-
-    n = 800
-    r = (np.arange(n) + 0.5) * 0.05
-    mx = BOUNDARY[0][0] + r[:, None] * np.ones((1, n))
-    my = BOUNDARY[1][0] + np.ones((n, 1)) * r[None, :]
-    cls = scene_class(mx, my)
-    quality = [cv2.IMWRITE_JPEG_QUALITY, 100]
-    for name, cid in [("road", ROAD), ("crosswalks", CROSS), ("lanes", LANE)]:
-        layer = np.where(cls == cid, 255, 0).astype(np.uint8)
-        img = np.repeat(layer[:, :, None], 3, axis=2)
-        cv2.imwrite(osp.join(gt_dir, f"bev-5cm-{name}.jpg"), img, quality)
-    mask = np.full((n, n, 3), 255, np.uint8)
-    cv2.imwrite(osp.join(gt_dir, "bev-5cm-mask.jpg"), mask, quality)
-    return cls
-
-
-def _pose(mx, my, yaw):
-    """Map-coord vehicle pose -> world-frame (position, quaternion xyzw)."""
-    position = np.array(
-        [mx - PCD_ORIGIN_OFFSET[0], my - PCD_ORIGIN_OFFSET[1], 0.0]
-    )
-    quaternion = np.array([0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)])
-    return position, quaternion
-
-
-def render_frame(position, quaternion, scale=2, cam=None, palette=None):
-    """Ray-cast the scene through a camera at a vehicle pose.
-
-    Returns (image_rgb_full, net_labels_full) at the calibration's full
-    1920x1440 resolution (rendered at 1/scale and pixel-replicated; the
-    <= scale px edge error is ~2 cm on the ground at these depths).
-
-    ``cam`` defaults to camera 1; ``palette`` overrides the per-scene-class
-    RGB colors (default INPUT_COLORS — the colors the network learns;
-    pass mapping label colors to synthesize perfect semantic images).
-    """
-    cam = cam or camera_setup_1()
-    colors = INPUT_COLORS if palette is None else np.asarray(palette, np.uint8)
-    w, h = cam.im_size
-    rw, rh = w // scale, h // scale
-    xs = (np.arange(rw) + 0.5) * scale - 0.5
-    ys = (np.arange(rh) + 0.5) * scale - 0.5
-    px, py = np.meshgrid(xs, ys)
-    pix = np.stack([px.ravel(), py.ravel(), np.ones(px.size)])
-
-    d_velo = cam.R.T @ (np.linalg.inv(cam.K) @ pix)   # rays, velodyne frame
-    c_velo = (-cam.R.T @ cam.t).ravel()
-    T = np.asarray(
-        pose_to_matrix(jnp.asarray(position), jnp.asarray(quaternion)),
-        dtype=np.float64,
-    ) @ velodyne_to_baselink()
-    d_w = T[:3, :3] @ d_velo
-    c_w = T[:3, :3] @ c_velo + T[:3, 3]
-
-    denom = np.where(d_w[2] == 0, -1e-12, d_w[2])
-    s = -c_w[2] / denom
-    ground = (d_w[2] < 0) & (s > 0)
-    mx = c_w[0] + s * d_w[0] + PCD_ORIGIN_OFFSET[0]
-    my = c_w[1] + s * d_w[1] + PCD_ORIGIN_OFFSET[1]
-    cls = scene_class(mx, my)
-    cls[~ground] = SKY
-
-    img = colors[cls].reshape(rh, rw, 3)
-    labels = NET_IDS[cls].reshape(rh, rw)
-    img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
-    labels = np.repeat(np.repeat(labels, scale, axis=0), scale, axis=1)
-    return img, labels
-
-
-def make_poses():
-    """9 viewpoints (3x3 lattice, 10 m spacing) x 10 yaw steps.
-
-    Camera 1's ground footprint per frame is a ~46 deg wedge centered
-    ~13 deg left of the body axis, blind inside ~5.8 m (measured through
-    the real calibration).  The lattice keeps every cell within ~7.1 m of
-    some viewpoint, so RANGE_MAX can drop to 12 m: far-range radial
-    label quantization (0.4-0.9 m/px at 16 m) was the lane-IoU ceiling —
-    9 viewpoints + 12 m range + 144x192 training lifts lane IoU from
-    0.31 to 0.89 (measured sweep, ROUND_NOTES r03)."""
-    poses = []
-    viewpoints = [
-        (110, 810), (110, 830), (130, 810), (130, 830), (120, 820),
-        (120, 810), (120, 830), (110, 820), (130, 820),
-    ]
-    for cmx, cmy in viewpoints:
-        for k in range(10):
-            poses.append(_pose(cmx, cmy, yaw=k * np.pi / 5))
-    return poses
-
-
-def make_point_map():
-    """Static 'reduced_map' point cloud: one point per grid cell center,
-    z=0, intensity 8 (inside [2,14] so the lane boost never fires)."""
-    i, j = np.meshgrid(np.arange(GRID_HW[0]), np.arange(GRID_HW[1]), indexing="ij")
-    mx = BOUNDARY[0][0] + (i.ravel() + 0.5) * RES
-    my = BOUNDARY[1][0] + (j.ravel() + 0.5) * RES
-    return np.stack(
-        [
-            mx - PCD_ORIGIN_OFFSET[0],
-            my - PCD_ORIGIN_OFFSET[1],
-            np.zeros(mx.size),
-            np.full(mx.size, 8.0),
-        ]
-    ).astype(np.float32)
-
-
-# --------------------------------------------------------------------------
-# In-process training of the real network on the synthetic scene colors
-# --------------------------------------------------------------------------
 
 def network_cfg(weight_path=""):
-    cfg = get_cfg_defaults()
-    net = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
-    net.MODEL.BACKBONE = "resnet18"
-    net.MODEL.OUTPUT_STRIDE = 16
-    net.MODEL.COMPUTE_DTYPE = "float32"
-    net.MODEL.WEIGHT = weight_path
-    return cfg
-
-
-def train_segmenter(frames, labels, weight_path, max_steps=150):
-    """Overfit DeepLabV3+(resnet18) to the scene colors; save .npz weights.
-
-    Uses the package's real model builder and fused train step — the same
-    code path as the Trainer, minus the data pipeline.
-    """
-    import optax
-
-    from vision_semantic_segmentation_tpu.models.build import build_model
-    from vision_semantic_segmentation_tpu.parallel.train_step import (
-        TrainState,
-        make_train_step,
+    """Scene app config at the fixture's network operating point."""
+    return scene_network_cfg(
+        weight_path, backbone="resnet18", output_stride=16
     )
-    from vision_semantic_segmentation_tpu.models.convert import save_npz
-
-    cfg = network_cfg()
-    model, _, _, _ = build_model(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK, dtype=jnp.float32)
-
-    batch = {
-        "image": jnp.asarray(np.stack(frames), jnp.float32),
-        "label": jnp.asarray(np.stack(labels), jnp.int32),
-    }
-    # the predictor normalizes uint8/255 by ImageNet stats; train on the
-    # identical preprocessing so the checkpoint transfers
-    from vision_semantic_segmentation_tpu.inference.predictor import (
-        IMAGENET_MEAN,
-        IMAGENET_STD,
-    )
-
-    batch["image"] = (batch["image"] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
-
-    variables = model.init(jax.random.PRNGKey(0), batch["image"][:1], train=False)
-    tx = optax.adam(3e-3)
-    state = TrainState.create(model, variables, tx, jax.random.PRNGKey(1))
-    step = jax.jit(make_train_step(num_classes=19))
-
-    # Stop on PER-CLASS recall of the mapped classes — overall accuracy
-    # alone lets the tiny lane class (~1% of pixels) stay unlearned — with
-    # a 100-step floor: held-out recall keeps improving well after the
-    # train-batch gate clears (road 0.73 -> 0.94 between steps 50 and 100,
-    # measured), and map completeness tracks held-out road recall.
-    acc, recalls = 0.0, {}
-    for it in range(max_steps):
-        state, metrics = step(state, batch)
-        conf = np.asarray(metrics["confusion"])
-        acc = float(np.trace(conf) / max(conf.sum(), 1.0))
-        recalls = {
-            c: float(conf[c, c] / max(conf[c].sum(), 1.0)) for c in (2, 1, 8)
-        }
-        if min(recalls.values()) >= 0.93 and it >= 99:
-            break
-    assert acc >= 0.97 and min(recalls.values()) >= 0.85, (
-        f"segmenter failed to overfit the scene: acc={acc:.3f} {recalls}"
-    )
-    save_npz({"params": state.params, "batch_stats": state.batch_stats}, weight_path)
-    return acc
 
 
 # --------------------------------------------------------------------------
