@@ -1,0 +1,242 @@
+"""Serving operating-point sweep (runtime/serving_pareto.py + autotune --serving).
+
+CPU timing is meaningless as performance, but the mechanics are real:
+operating-point configs build the actual fused runner, the fps rows carry
+the point descriptors, the quality scorer trains + maps + scores on the
+synthetic scene, and the Pareto join/recommendation logic is pinned on
+synthetic rows.
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from test_runtime import small_cfg  # noqa: E402
+
+from vision_semantic_segmentation_tpu.runtime.serving_pareto import (  # noqa: E402
+    HEADLINE_POINT,
+    default_points,
+    pareto,
+    point_key,
+    serving_overlay_yaml,
+    sweep_fps,
+)
+
+IMAGE_HW = (64, 96)
+
+
+def _tiny_cfg(tmp_path):
+    cfg = small_cfg(tmp_path)
+    cfg.MAPPING.POINT_BUCKET = 2048
+    net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+    net_cfg.MODEL.TYPE = "Dummy"
+    net_cfg.MODEL.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+class TestPoints:
+    def test_default_grid_and_headline_membership(self):
+        pts = default_points()
+        assert len(pts) == 2 * 2 * 3 * 2
+        keys = {point_key(p) for p in pts}
+        assert len(keys) == len(pts)
+        assert point_key(HEADLINE_POINT) in keys
+
+    def test_custom_grid(self):
+        pts = default_points(
+            backbones=["resnet18"], strides=[16], scales=[0.5],
+            upsample=[True],
+        )
+        assert pts == [{
+            "backbone": "resnet18", "output_stride": 16,
+            "image_scale": 0.5, "upsample_pred": True,
+        }]
+
+
+class TestPareto:
+    def _rows(self):
+        mk = lambda sc, up, fps, miou: (  # noqa: E731
+            dict(backbone="resnext50_32x4d", output_stride=8,
+                 image_scale=sc, upsample_pred=up, fps=fps),
+            dict(backbone="resnext50_32x4d", output_stride=8,
+                 image_scale=sc, upsample_pred=up, miou=miou,
+                 iou={}, missing_rate=0.0, train_s=1.0),
+        )
+        pairs = [
+            mk(1.0, False, 20.0, 0.90),   # the headline anchor
+            mk(0.5, False, 45.0, 0.88),   # fast, within 95% of 0.90
+            mk(0.5, True, 42.0, 0.89),    # slower but higher quality
+            mk(0.355, False, 55.0, 0.70), # fastest, quality collapsed
+        ]
+        return [p[0] for p in pairs], [p[1] for p in pairs]
+
+    def test_recommendation_respects_quality_budget(self):
+        fps_rows, q_rows = self._rows()
+        result = pareto(fps_rows, q_rows, quality_budget=0.95)
+        assert result["anchor_miou"] == 0.90
+        r = result["recommended"]
+        # fastest point with miou >= 0.855: scale 0.5 up=False (45 fps)
+        assert (r["image_scale"], r["upsample_pred"]) == (0.5, False)
+        assert r["fps"] == 45.0
+
+    def test_pareto_marks_dominated_points(self):
+        fps_rows, q_rows = self._rows()
+        rows = pareto(fps_rows, q_rows)["rows"]
+        by = {point_key(r): r for r in rows}
+        # 0.5/True is dominated by nothing (highest quality among fast);
+        # 1.0/False is efficient (highest quality overall);
+        # 0.355/False is efficient (fastest)
+        assert by[point_key(dict(HEADLINE_POINT))]["pareto"]
+        assert by[("resnext50_32x4d", 8, 0.355, False)]["pareto"]
+        assert by[("resnext50_32x4d", 8, 0.5, True)]["pareto"]
+        # 0.5/False: 45 fps / 0.88 — dominated by nothing either
+        # (faster than 0.5/True, higher-quality than 0.355)
+        assert by[("resnext50_32x4d", 8, 0.5, False)]["pareto"]
+
+    def test_dominated_point_is_unmarked(self):
+        fps_rows, q_rows = self._rows()
+        # add a strictly dominated point: slower AND lower quality
+        fps_rows.append(dict(backbone="resnext50_32x4d", output_stride=8,
+                             image_scale=0.25, upsample_pred=False, fps=30.0))
+        q_rows.append(dict(backbone="resnext50_32x4d", output_stride=8,
+                           image_scale=0.25, upsample_pred=False, miou=0.60,
+                           iou={}, missing_rate=0.0, train_s=1.0))
+        rows = pareto(fps_rows, q_rows)["rows"]
+        by = {point_key(r): r for r in rows}
+        assert not by[("resnext50_32x4d", 8, 0.25, False)]["pareto"]
+
+    def test_missing_anchor_falls_back_to_best_miou(self):
+        fps_rows, q_rows = self._rows()
+        fps_rows, q_rows = fps_rows[1:], q_rows[1:]  # drop the headline
+        result = pareto(fps_rows, q_rows, quality_budget=0.95)
+        assert result["anchor_miou"] == 0.89
+
+    def test_no_quality_rows_gives_no_recommendation(self):
+        fps_rows, _ = self._rows()
+        result = pareto(fps_rows, [])
+        assert result["recommended"] is None
+        assert all("miou" not in r for r in result["rows"])
+
+    def test_overlay_yaml_merges(self, tmp_path):
+        from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+
+        fps_rows, q_rows = self._rows()
+        result = pareto(fps_rows, q_rows)
+        text = serving_overlay_yaml(result["recommended"], result)
+        path = tmp_path / "serving.yaml"
+        path.write_text(text)
+        cfg = get_cfg_defaults()
+        cfg.merge_from_file(str(path))
+        assert cfg.VISION_SEM_SEG.IMAGE_SCALE == 0.5
+        assert cfg.VISION_SEM_SEG.UPSAMPLE_PRED is False
+        net = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        assert net.MODEL.BACKBONE == "resnext50_32x4d"
+        assert net.MODEL.OUTPUT_STRIDE == 8
+
+
+class TestSweepFps:
+    def test_rows_carry_points_and_fps(self, tmp_path):
+        """Two operating points through the REAL fused runner (Dummy net
+        keeps CPU compile time bounded; scale/upsample change the program)."""
+        cfg = _tiny_cfg(tmp_path)
+        points = [
+            {"backbone": "Dummy", "output_stride": 16,
+             "image_scale": 1.0, "upsample_pred": False},
+            {"backbone": "Dummy", "output_stride": 16,
+             "image_scale": 0.5, "upsample_pred": True},
+        ]
+        rows = sweep_fps(
+            cfg, points, image_hw=IMAGE_HW, window=2, n_windows=1,
+            repeats=1,
+        )
+        assert len(rows) == 2
+        for row, point in zip(rows, points):
+            assert row["fps"] > 0
+            assert row["ms_per_frame"] > 0
+            for k, v in point.items():
+                assert row[k] == v
+
+
+class TestUpsamplePredInFusedPipeline:
+    def test_channel_image_resolution_follows_the_knob(self, tmp_path):
+        """UPSAMPLE_PRED=True must give the fused program logits at the
+        scaled-input resolution; False at the decoder's os4 resolution
+        (ref semantic_segmentation.py:55 is always False)."""
+        from vision_semantic_segmentation_tpu.models import build_model
+        from vision_semantic_segmentation_tpu.runtime.pipeline import (
+            FusedFramePipeline,
+        )
+
+        cfg = _tiny_cfg(tmp_path)
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "DeepLabv3+"
+        net_cfg.MODEL.BACKBONE = "resnet18"
+        net_cfg.MODEL.OUTPUT_STRIDE = 16
+        cfg.VISION_SEM_SEG.IMAGE_SCALE = 0.5
+        cfg.VISION_SEM_SEG.UNDISTORT = False
+
+        model = build_model(net_cfg, dtype=jnp.float32)[0]
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 48, 3)), train=False
+        )
+        frame = np.zeros((64, 96, 3), np.uint8)
+
+        shapes = {}
+        for up in (False, True):
+            cfg.VISION_SEM_SEG.UPSAMPLE_PRED = up
+            pipe = FusedFramePipeline(
+                cfg, variables, distortion="none", compute_dtype=jnp.float32
+            )
+            seg = pipe._build_segmentation("camera1", (64, 96))
+            shapes[up] = jax.eval_shape(
+                seg, variables, jnp.zeros((64, 96, 3), jnp.uint8)
+            ).shape
+        # scaled input is 32x48; with upsample off the logits stay at the
+        # decoder's resolution: os4 low-level (8x12) minus 2px per
+        # valid-pad 3x3 refine conv (torch default pad=0, ref decoder.py)
+        assert shapes[True][1:3] == (32, 48)
+        assert shapes[False][1:3] == (4, 8)
+        del frame
+
+
+class TestScoreQualityOnTinyScene:
+    @pytest.mark.slow
+    def test_quality_row_mechanics(self, tmp_path):
+        """The full quality path (scene render -> per-point training ->
+        fused mapping -> MapEvaluator) at a thinned pose lattice and the
+        fixture operating point.  Coverage is partial by construction, so
+        only mechanics + sanity are pinned (the strict quality gate lives
+        in tests/test_e2e_golden.py on the full lattice)."""
+        from vision_semantic_segmentation_tpu.runtime.serving_pareto import (
+            SceneArtifacts,
+            score_quality,
+        )
+
+        scene = SceneArtifacts(str(tmp_path / "scene"), pose_stride=5)
+        point = {
+            "backbone": "resnet18", "output_stride": 16,
+            "image_scale": 0.1, "upsample_pred": True,
+        }
+        row = score_quality(
+            scene, point, train_steps=150, compute_dtype=jnp.float32,
+            map_window=6,
+        )
+        assert 0.0 <= row["miou"] <= 1.0
+        assert set(row["iou"]) == {"road", "crosswalk", "lane"}
+        # 18 poses still see the road head-on repeatedly: the dominant
+        # class must be mapped correctly where covered
+        assert row["iou"]["road"] >= 0.3, row
+        assert row["train_s"] > 0
+        # weights are cached per (backbone, stride, scale): rescoring must
+        # not retrain
+        row2 = score_quality(
+            scene, point, train_steps=150, compute_dtype=jnp.float32,
+            map_window=6,
+        )
+        assert row2["train_s"] < row["train_s"] / 2
+        assert row2["miou"] == row["miou"]

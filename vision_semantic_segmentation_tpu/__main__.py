@@ -314,6 +314,86 @@ def cmd_quantize(args):
     print(f"wrote {args.out} ({len(images)} calibration frames)")
 
 
+def cmd_autotune_serving(args):
+    """Serving operating-point Pareto (runtime/serving_pareto.py): every
+    backbone x OUTPUT_STRIDE x IMAGE_SCALE x UPSAMPLE_PRED point timed
+    through the fused production runner on-device, then (unless
+    --no-quality) scored for golden-scene map mIoU with a per-point
+    trained network.  Writes the recommended point as a YAML overlay and
+    (with --json) the full sweep."""
+    import os.path as osp
+
+    from .runtime.serving_pareto import (
+        SceneArtifacts,
+        default_points,
+        pareto,
+        score_quality,
+        serving_overlay_yaml,
+        sweep_fps,
+        write_json,
+    )
+
+    cfg = _load_app_cfg(args.cfg)
+    kwargs = {}
+    if args.backbones:
+        kwargs["backbones"] = [b for b in args.backbones.split(",") if b]
+    if args.strides:
+        kwargs["strides"] = [int(v) for v in args.strides.split(",") if v]
+    if args.scales:
+        kwargs["scales"] = [float(v) for v in args.scales.split(",") if v]
+    if args.upsample != "both":
+        kwargs["upsample"] = (args.upsample == "on",)
+    points = default_points(**kwargs)
+    print(f"serving sweep: {len(points)} operating points")
+
+    fps_rows = sweep_fps(
+        cfg, points,
+        image_hw=(args.height, args.width),
+        window=args.window, n_windows=args.windows, repeats=args.repeats,
+        camera=args.camera, log=print,
+    )
+    quality_rows = []
+    if not args.no_quality:
+        scene_dir = args.scene_dir or osp.join(
+            osp.dirname(osp.abspath(args.out)) or ".", "serving_scene"
+        )
+        scene = SceneArtifacts(scene_dir, log=print)
+        for point in points:
+            try:
+                quality_rows.append(score_quality(
+                    scene, point, cfg=cfg,
+                    train_steps=args.train_steps,
+                    train_batch=args.train_batch or None,
+                    log=print,
+                ))
+            except Exception as exc:  # one OOM point must not kill the sweep
+                print(f"quality point {point} failed: {exc!r} (skipping)")
+    result = pareto(fps_rows, quality_rows, quality_budget=args.budget)
+    if result["recommended"] is not None:
+        r = result["recommended"]
+        print(
+            f"recommended: {r['backbone']} os{r['output_stride']} "
+            f"scale={r['image_scale']} upsample={r['upsample_pred']} -> "
+            f"{r['fps']} fps at miou {r.get('miou')} "
+            f"(anchor {result['anchor_miou']})"
+        )
+        with open(args.out, "w") as f:
+            f.write(serving_overlay_yaml(r, result))
+        print(f"wrote {args.out}")
+    elif fps_rows and args.no_quality:
+        fastest = max(fps_rows, key=lambda x: x["fps"])
+        print(
+            "fps-only sweep (no quality scores): fastest point "
+            f"{fastest['backbone']} os{fastest['output_stride']} "
+            f"scale={fastest['image_scale']} upsample={fastest['upsample_pred']} "
+            f"-> {fastest['fps']} fps; NOT writing an overlay without a "
+            "quality budget check"
+        )
+    if args.json:
+        print(f"wrote {write_json(result, args.json)}")
+    return result
+
+
 def cmd_autotune(args):
     """Measure the grid-update backend combinations at THIS config's
     shapes on THIS device and write a YAML overlay selecting the winner.
@@ -326,6 +406,8 @@ def cmd_autotune(args):
     """
     from .runtime.tuning import tune, write_overlay
 
+    if args.serving:
+        return cmd_autotune_serving(args)
     cfg = _load_app_cfg(args.cfg)
     update_windows = (
         [int(v) for v in args.update_windows.split(",") if v != ""]
@@ -521,6 +603,34 @@ def main(argv=None):
     p.add_argument("--sorts", default="", help="comma list: bitonic,radix")
     p.add_argument("--distortion", default="auto",
                    choices=["auto", "none", "points"])
+    p.add_argument(
+        "--serving", action="store_true",
+        help="sweep serving OPERATING POINTS instead of grid-update "
+        "backends: backbone x OUTPUT_STRIDE x IMAGE_SCALE x UPSAMPLE_PRED, "
+        "each timed through the fused runner AND scored for golden-scene "
+        "map mIoU; writes the Pareto frontier + a recommended overlay")
+    p.add_argument("--backbones", default="",
+                   help="[serving] comma list (default resnext50_32x4d,resnet50)")
+    p.add_argument("--strides", default="",
+                   help="[serving] comma list of OUTPUT_STRIDE (default 8,16)")
+    p.add_argument("--scales", default="",
+                   help="[serving] comma list of IMAGE_SCALE (default 1.0,0.5,0.355)")
+    p.add_argument("--upsample", default="both", choices=["both", "on", "off"],
+                   help="[serving] UPSAMPLE_PRED values to sweep")
+    p.add_argument("--no-quality", action="store_true",
+                   help="[serving] fps sweep only (skip golden-scene training/scoring)")
+    p.add_argument("--scene-dir", default="",
+                   help="[serving] directory for golden-scene artifacts "
+                   "(reused across runs; default <out dir>/serving_scene)")
+    p.add_argument("--train-steps", type=int, default=200,
+                   help="[serving] max segmenter train steps per point")
+    p.add_argument("--train-batch", type=int, default=0,
+                   help="[serving] segmenter train mini-batch (0 = all 8 frames)")
+    p.add_argument("--budget", type=float, default=0.95,
+                   help="[serving] recommended point must keep this fraction "
+                   "of the headline point's golden mIoU")
+    p.add_argument("--json", default="",
+                   help="[serving] also dump the full sweep as JSON")
     p.set_defaults(fn=cmd_autotune)
 
     p = sub.add_parser(

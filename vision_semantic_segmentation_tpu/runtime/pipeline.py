@@ -95,6 +95,18 @@ class FusedFramePipeline:
         self.model = build_model(cfg.VISION_SEM_SEG.SEM_SEG_NETWORK, dtype=compute_dtype)[0]
         self.variables = jax.tree.map(jnp.asarray, variables)
         self.image_scale = float(cfg.VISION_SEM_SEG.IMAGE_SCALE)
+        # VISION_SEM_SEG.UPSAMPLE_PRED (config/defaults.py): bilinearly
+        # upsample logits to the (scaled) input size before the argmax, so
+        # the channel image the engine gathers from has 4x finer class
+        # boundaries than the decoder's os4 map.  The reference always
+        # argmaxes at decoder resolution (ref semantic_segmentation.py:55,
+        # upsample_pred=False) — the serving-Pareto sweep measures what
+        # this knob costs/buys per operating point.
+        self.upsample_pred = (
+            bool(cfg.VISION_SEM_SEG.UPSAMPLE_PRED)
+            if "UPSAMPLE_PRED" in cfg.VISION_SEM_SEG
+            else False
+        )
         self.channel_table = network_to_channel_table(
             cfg, cfg.VISION_SEM_SEG.SEM_SEG_NETWORK.DATASET.NUM_CLASSES
         )
@@ -115,6 +127,7 @@ class FusedFramePipeline:
         std = np.asarray(IMAGENET_STD, dtype=np.float32)
         scale = self.image_scale
         full_hw = image_hw
+        upsample_pred = self.upsample_pred
         undistort_map = self._undistort_maps.get(camera)
 
         def seg(variables, frame_u8):
@@ -127,7 +140,12 @@ class FusedFramePipeline:
                 x = resize_area(x, (int(full_hw[0] * scale), int(full_hw[1] * scale)))
             xf = x.astype(jnp.float32) / 255.0
             xf = (xf - mean) / std
-            return model.apply(variables, xf[None], train=False, upsample_pred=False)
+            # with upsample_pred the logits (hence the channel image the
+            # engine gathers from) are at the scaled-input resolution; the
+            # engine's nearest-downscaled gather indices handle either size
+            return model.apply(
+                variables, xf[None], train=False, upsample_pred=upsample_pred
+            )
 
         return seg
 

@@ -1,0 +1,437 @@
+"""Serving operating-point sweep: fps x golden-map-quality Pareto.
+
+The kernel-level levers are closed with evidence (PERFORMANCE.md): the
+backbone runs at ~82% of its no-overlap roofline and both fold/sort
+backend lists are measured.  The remaining e2e levers are WORKLOAD-level
+— the reference's own deployment knob is ``VISION_SEM_SEG.IMAGE_SCALE``
+(ref base_cfg.py:91) and its backbone/output-stride build options
+(ref models/backbone/build.py:12-16, deeplab.py).  This module measures
+that operating space on BOTH axes instead of guessing:
+
+* **fps** — every operating point (backbone x OUTPUT_STRIDE x
+  IMAGE_SCALE x UPSAMPLE_PRED) timed through the real fused production
+  runner on-device at the camera's native frame size (timing is
+  weight-independent; same discipline as runtime/tuning.py).
+* **quality** — golden-map mIoU per point: a DeepLabV3+ with the point's
+  backbone/stride is trained AT THE POINT'S input resolution on the
+  synthetic exact-ground-truth scene (evaluation/synthetic_scene.py),
+  the fused pipeline maps the scene bag at the point's full serving
+  config, and MapEvaluator scores the map — the same quality contract as
+  the e2e golden gate (ref test_semantic_mapping.py:117-161).
+
+``pareto()`` joins the two sweeps, marks the Pareto-efficient points,
+and recommends the fastest point within a quality budget relative to the
+headline operating point.  CLI: ``autotune --serving`` (see __main__).
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .tuning import generate_windows, init_variables, time_fused_runner
+
+# the r03 headline operating point (bench.py): quality budgets are
+# expressed relative to it
+HEADLINE_POINT = {
+    "backbone": "resnext50_32x4d",
+    "output_stride": 8,
+    "image_scale": 1.0,
+    "upsample_pred": False,
+}
+
+
+def default_points(
+    backbones: Sequence[str] = ("resnext50_32x4d", "resnet50"),
+    strides: Sequence[int] = (8, 16),
+    scales: Sequence[float] = (1.0, 0.5, 0.355),
+    upsample: Sequence[bool] = (False, True),
+) -> List[Dict]:
+    """The sweep grid.  0.355 ~= the quick-bench 512x768 shape."""
+    pts = []
+    for b in backbones:
+        for s in strides:
+            for sc in scales:
+                for up in upsample:
+                    pts.append({
+                        "backbone": b,
+                        "output_stride": int(s),
+                        "image_scale": float(sc),
+                        "upsample_pred": bool(up),
+                    })
+    return pts
+
+
+def point_key(p: Dict) -> Tuple:
+    return (
+        p["backbone"], int(p["output_stride"]),
+        round(float(p["image_scale"]), 4), bool(p["upsample_pred"]),
+    )
+
+
+def _point_cfg(cfg, point: Dict):
+    pc = cfg.clone()
+    pc.defrost()
+    pc.VISION_SEM_SEG.IMAGE_SCALE = float(point["image_scale"])
+    pc.VISION_SEM_SEG.UPSAMPLE_PRED = bool(point["upsample_pred"])
+    net = pc.VISION_SEM_SEG.SEM_SEG_NETWORK
+    net.MODEL.BACKBONE = point["backbone"]
+    net.MODEL.OUTPUT_STRIDE = int(point["output_stride"])
+    return pc
+
+
+def sweep_fps(
+    cfg,
+    points: Sequence[Dict],
+    image_hw: Tuple[int, int] = (1440, 1920),
+    window: int = 16,
+    n_windows: int = 2,
+    repeats: int = 3,
+    camera: str = "camera1",
+    log=None,
+) -> List[Dict]:
+    """Time the fused production runner at every operating point.
+
+    One frame-window set is generated once on device and reused across
+    points (the workload is identical; only the network program changes).
+    Model variables are random-init per (backbone, stride) — timing is
+    weight-independent — and cached across scale/upsample variants.
+    """
+    from ..mapping.engine import SemanticMappingEngine
+    from .pipeline import FusedFramePipeline
+    from .tuning import _resolve_distortion
+
+    windows = generate_windows(cfg, image_hw, window, n_windows)
+    vars_cache: Dict[Tuple, object] = {}
+    rows = []
+    for point in points:
+        pc = _point_cfg(cfg, point)
+        net = pc.VISION_SEM_SEG.SEM_SEG_NETWORK
+        vkey = (point["backbone"], int(point["output_stride"]))
+        if vkey not in vars_cache:
+            vars_cache[vkey] = init_variables(net)
+        engine = SemanticMappingEngine(pc)
+        dist = _resolve_distortion(pc, engine, camera, image_hw, "auto")
+        pipeline = FusedFramePipeline(
+            pc, vars_cache[vkey], engine=engine, distortion=dist
+        )
+        fps, warmup_s = time_fused_runner(
+            pipeline, windows, image_hw, window, camera, repeats
+        )
+        row = dict(
+            point,
+            fps=round(fps, 3),
+            ms_per_frame=round(1000.0 / fps, 3),
+            warmup_s=round(warmup_s, 1),
+        )
+        rows.append(row)
+        if log:
+            log(
+                f"fps  {row['backbone']:<16} os{row['output_stride']} "
+                f"scale={row['image_scale']:<5} up={int(row['upsample_pred'])} "
+                f"{row['fps']:8.2f} fps ({row['ms_per_frame']:.1f} ms/frame, "
+                f"warmup {row['warmup_s']:.0f}s)"
+            )
+    return rows
+
+
+class SceneArtifacts:
+    """Shared golden-scene artifacts, rendered once per sweep.
+
+    ``pose_stride`` thins the 90-pose lattice (every k-th pose) — map
+    coverage shrinks accordingly; production sweeps keep the full set,
+    tests use a subset to bound CPU render time.
+    """
+
+    def __init__(self, root: str, pose_stride: int = 1, log=None):
+        from ..evaluation.synthetic_scene import (
+            make_point_map,
+            make_poses,
+            render_frame,
+            write_ground_truth,
+        )
+        from .io import FrameRecord
+
+        os.makedirs(root, exist_ok=True)
+        self.root = root
+        self.gt_dir = osp.join(root, "ground_truth")
+        os.makedirs(self.gt_dir, exist_ok=True)
+        write_ground_truth(self.gt_dir)
+        if log:
+            log("rendering golden scene frames (once per sweep)...")
+        self.poses = make_poses()[:: max(1, int(pose_stride))]
+        pcd = make_point_map()
+        self.images, self.net_labels = [], []
+        for position, quaternion in self.poses:
+            img, lab = render_frame(position, quaternion)
+            self.images.append(img)
+            self.net_labels.append(lab)
+        self.frames = [
+            FrameRecord(
+                pcd=pcd,
+                pcd_frame_id="world",
+                semantic_image=self.images[i],
+                position=self.poses[i][0],
+                quaternion=self.poses[i][1],
+                camera="camera1",
+                stamp=float(i),
+            )
+            for i in range(len(self.poses))
+        ]
+        # 8 training frames spanning viewpoints and yaws (fixture recipe)
+        self.train_idx = list(
+            range(0, len(self.poses), max(1, len(self.poses) // 8))
+        )[:8]
+        self._staged: Dict[Tuple, Tuple] = {}
+
+    def staged_windows(self, bucket: int, window: int):
+        """Frame windows pre-staged in device memory, uploaded ONCE.
+
+        The frames are operating-point-independent (each point's program
+        rescales on device), so every ``score_quality`` call shares the
+        same HBM-resident windows — re-uploading ~750 MB of full-res
+        frames per point through the dev tunnel's ~1-20 MB/s link would
+        dwarf the measurement.  Returns ``(windows, tail_frames)``; the
+        tail (len(frames) % window) stays host-side for per-frame steps.
+        """
+        import jax
+
+        from ..mapping.engine import pad_points
+
+        key = (int(bucket), int(window))
+        if key not in self._staged:
+            n_full = len(self.frames) - len(self.frames) % window
+            windows = []
+            for i in range(0, n_full, window):
+                chunk = self.frames[i : i + window]
+                padded = [
+                    pad_points(np.asarray(f.pcd, np.float32), bucket)
+                    for f in chunk
+                ]
+                windows.append({
+                    "image": jax.device_put(
+                        np.stack([f.semantic_image for f in chunk])
+                    ),
+                    "pcd": jax.device_put(np.stack([p for p, _ in padded])),
+                    "valid": jax.device_put(np.stack([v for _, v in padded])),
+                    "position": jax.device_put(np.stack(
+                        [np.asarray(f.position, np.float32) for f in chunk]
+                    )),
+                    "quaternion": jax.device_put(np.stack(
+                        [np.asarray(f.quaternion, np.float32) for f in chunk]
+                    )),
+                })
+            self._staged[key] = (windows, list(self.frames[n_full:]))
+        return self._staged[key]
+
+
+def score_quality(
+    scene: SceneArtifacts,
+    point: Dict,
+    cfg=None,
+    train_steps: int = 200,
+    train_batch: Optional[int] = None,
+    compute_dtype=None,
+    map_window: int = 10,
+    log=None,
+) -> Dict:
+    """Golden-map quality at one operating point.
+
+    Trains the point's network at the point's input resolution (CNNs are
+    not scale-invariant — fixture finding), then maps the scene bag with
+    the FUSED production pipeline at the point's full serving config and
+    scores with MapEvaluator.  The forward runs at the production compute
+    dtype (bf16 by default) — quality is scored on the exact program the
+    fps sweep times.
+    """
+    import jax.numpy as jnp
+
+    from ..evaluation.map_eval import MapEvaluator
+    from ..evaluation.synthetic_scene import (
+        apply_scene_mapping_cfg,
+        scaled_hw,
+        scene_network_cfg,
+        subsample_labels,
+        train_segmenter,
+    )
+    from ..mapping.engine import SemanticMappingEngine
+    from ..mapping.renderer import apply_filter, render_bev_map
+    from ..models.convert import load_npz
+    from ..ops.resize import resize_area
+    from .pipeline import FusedFramePipeline
+
+    t0 = time.perf_counter()
+    hw = scaled_hw(point["image_scale"])
+    key = point_key(point)
+    weight_path = osp.join(
+        scene.root,
+        f"seg_{key[0]}_os{key[1]}_s{key[2]}.npz".replace("/", "_"),
+    )
+    if not osp.exists(weight_path):
+        # network input = the pipeline's area-resized frame at this scale
+        if point["image_scale"] >= 1.0:
+            train_imgs = [
+                scene.images[i].astype(np.float32) for i in scene.train_idx
+            ]
+            train_labels = [scene.net_labels[i] for i in scene.train_idx]
+        else:
+            train_imgs = [
+                np.asarray(
+                    resize_area(jnp.asarray(scene.images[i]), hw)
+                ).astype(np.float32)
+                for i in scene.train_idx
+            ]
+            train_labels = [
+                subsample_labels(scene.net_labels[i], hw)
+                for i in scene.train_idx
+            ]
+        train_segmenter(
+            train_imgs,
+            train_labels,
+            weight_path,
+            backbone=point["backbone"],
+            output_stride=int(point["output_stride"]),
+            max_steps=train_steps,
+            batch_size=train_batch,
+            log=log,
+        )
+    train_s = time.perf_counter() - t0
+
+    base = cfg if cfg is not None else scene_network_cfg()
+    pc = _point_cfg(base, point)
+    apply_scene_mapping_cfg(
+        pc,
+        image_scale=point["image_scale"],
+        upsample_pred=point["upsample_pred"],
+    )
+    pc.VISION_SEM_SEG.SEM_SEG_NETWORK.MODEL.WEIGHT = weight_path
+
+    variables = load_npz(weight_path)
+    engine = SemanticMappingEngine(pc)
+    pipeline = FusedFramePipeline(
+        pc,
+        variables,
+        engine=engine,
+        distortion="none",  # scene frames are rendered pinhole
+        compute_dtype=compute_dtype or jnp.bfloat16,
+    )
+    grid = pipeline.init_grid()
+    image_hw = scene.frames[0].semantic_image.shape[:2]
+    windows, tail = scene.staged_windows(engine.point_bucket, map_window)
+    if windows:
+        runner = pipeline.compile_sequence_runner(
+            camera="camera1", image_hw=tuple(image_hw), window=map_window
+        )
+        for staged in windows:
+            grid = runner(grid, staged)
+    for f in tail:  # remainder: per-frame steps (no extra window compile)
+        grid, _ = pipeline.step(
+            grid, f.semantic_image, f.pcd,
+            np.ones(f.pcd.shape[1], bool),
+            f.position, f.quaternion, camera="camera1",
+        )
+    hwc = jnp.asarray(SemanticMappingEngine.to_hwc(grid))
+    color_map = np.asarray(
+        render_bev_map(
+            apply_filter(hwc), np.array(pc.LABEL_COLORS, np.uint8)
+        )
+    )
+    result = MapEvaluator(ground_truth_dir=scene.gt_dir).test_single_map(
+        color_map, verbose=False
+    )
+    row = dict(
+        point,
+        miou=round(float(result["miou"]), 4),
+        iou={k: round(float(v), 4) for k, v in result["iou"].items()},
+        missing_rate=round(float(result["missing_rate"]), 4),
+        train_s=round(train_s, 1),
+    )
+    if log:
+        log(
+            f"miou {row['backbone']:<16} os{row['output_stride']} "
+            f"scale={row['image_scale']:<5} up={int(row['upsample_pred'])} "
+            f"miou={row['miou']:.3f} iou={row['iou']} "
+            f"(train {row['train_s']:.0f}s)"
+        )
+    return row
+
+
+def pareto(
+    fps_rows: Sequence[Dict],
+    quality_rows: Sequence[Dict],
+    quality_budget: float = 0.95,
+) -> Dict:
+    """Join the sweeps, mark Pareto-efficient points, pick a recommendation.
+
+    A point is Pareto-efficient if no other point is at least as fast AND
+    strictly higher-quality (or as high-quality and strictly faster).
+    The recommendation is the fastest point whose mIoU is within
+    ``quality_budget`` of the HEADLINE point's mIoU (falling back to the
+    best measured mIoU when the headline point was not swept).
+    """
+    quality_by_key = {point_key(r): r for r in quality_rows}
+    rows = []
+    for fr in fps_rows:
+        qr = quality_by_key.get(point_key(fr))
+        row = dict(fr)
+        if qr is not None:
+            row.update(
+                miou=qr["miou"], iou=qr["iou"],
+                missing_rate=qr["missing_rate"], train_s=qr["train_s"],
+            )
+        rows.append(row)
+    scored = [r for r in rows if "miou" in r]
+    for r in scored:
+        r["pareto"] = not any(
+            (o["fps"] >= r["fps"] and o["miou"] > r["miou"])
+            or (o["fps"] > r["fps"] and o["miou"] >= r["miou"])
+            for o in scored
+        )
+    anchor = quality_by_key.get(point_key(HEADLINE_POINT))
+    anchor_miou = anchor["miou"] if anchor else (
+        max((r["miou"] for r in scored), default=None)
+    )
+    recommended = None
+    if scored and anchor_miou is not None:
+        eligible = [r for r in scored if r["miou"] >= quality_budget * anchor_miou]
+        if eligible:
+            recommended = max(eligible, key=lambda r: r["fps"])
+    return {
+        "rows": rows,
+        "anchor_miou": anchor_miou,
+        "quality_budget": quality_budget,
+        "recommended": recommended,
+    }
+
+
+def serving_overlay_yaml(point: Dict, result: Optional[Dict] = None) -> str:
+    """Render a recommended operating point as a merge-ready YAML overlay."""
+    lines = []
+    if result is not None and result.get("recommended") is not None:
+        r = result["recommended"]
+        lines.append(
+            f"# serving-pareto recommendation: {r['fps']} fps at miou "
+            f"{r.get('miou')} (budget {result['quality_budget']} x anchor "
+            f"{result['anchor_miou']})"
+        )
+    lines += [
+        "VISION_SEM_SEG:",
+        f"  IMAGE_SCALE: {float(point['image_scale'])}",
+        f"  UPSAMPLE_PRED: {bool(point['upsample_pred'])}",
+        "  SEM_SEG_NETWORK:",
+        "    MODEL:",
+        f"      BACKBONE: {point['backbone']}",
+        f"      OUTPUT_STRIDE: {int(point['output_stride'])}",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+def write_json(obj, path: str) -> str:
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, sort_keys=True)
+        f.write("\n")
+    return path

@@ -75,6 +75,7 @@ def generate_windows(
     seed: int = 100,
     span_m: Optional[float] = None,
     origin_inset_m: Optional[Tuple[float, float]] = None,
+    vehicle_pose: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> List[dict]:
     """Distinct on-device frame windows inside the configured boundary.
 
@@ -107,10 +108,18 @@ def generate_windows(
     )
     x0m = bx0 + inset_x - float(PCD_ORIGIN_OFFSET[0])
     y0m = by0 + inset_y - float(PCD_ORIGIN_OFFSET[1])
-    position = np.tile(
-        np.asarray([x0m - 6.0, y0m + span / 2.0, 0.0], np.float32), (window, 1)
-    )
-    quaternion = np.tile(np.asarray([0, 0, 0, 1.0], np.float32), (window, 1))
+    if vehicle_pose is not None:
+        # caller-supplied (position, quaternion_xyzw): e.g. a pose chosen
+        # so a DIFFERENT camera's wedge covers the span (bench dual-cam)
+        pos3, quat4 = vehicle_pose
+        position = np.tile(np.asarray(pos3, np.float32), (window, 1))
+        quaternion = np.tile(np.asarray(quat4, np.float32), (window, 1))
+    else:
+        position = np.tile(
+            np.asarray([x0m - 6.0, y0m + span / 2.0, 0.0], np.float32),
+            (window, 1),
+        )
+        quaternion = np.tile(np.asarray([0, 0, 0, 1.0], np.float32), (window, 1))
     img_h, img_w = image_hw
 
     @jax.jit
@@ -140,6 +149,43 @@ def generate_windows(
     windows = [gen_window(jax.random.PRNGKey(seed + i)) for i in range(n_windows)]
     jax.block_until_ready(windows)
     return windows
+
+
+def time_fused_runner(
+    pipeline,
+    windows: List[dict],
+    image_hw: Tuple[int, int],
+    window: int,
+    camera: str,
+    repeats: int,
+) -> Tuple[float, float]:
+    """AOT-compile + time a FusedFramePipeline's sequence runner.
+
+    Returns ``(fps, warmup_s)``.  The shared measurement core of the
+    grid-update autotuner and the serving-Pareto sweep: whole-window
+    dispatch, grid threaded through the donated buffer, small host
+    readback as the completion barrier (``block_until_ready`` does not
+    force completion through the dev tunnel), best-of-``repeats``.
+    """
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    run = pipeline.compile_sequence_runner(
+        camera=camera, image_hw=tuple(image_hw), window=window
+    )
+    grid = pipeline.init_grid()
+    grid = run(grid, windows[0])  # first execution
+    float(jnp.sum(grid[:2, :2]))
+    warmup_s = time.perf_counter() - t0
+
+    elapsed = float("inf")
+    for _ in range(max(1, repeats)):
+        start = time.perf_counter()
+        for frames in windows:
+            grid = run(grid, frames)
+        float(jnp.sum(grid[:2, :2]))  # host readback barrier
+        elapsed = min(elapsed, time.perf_counter() - start)
+    return (window * len(windows)) / elapsed, warmup_s
 
 
 def _resolve_distortion(cfg, engine, camera: str, image_hw: Tuple[int, int],
@@ -175,8 +221,6 @@ def _time_combo(
     distortion: str,
 ) -> dict:
     """AOT-compile + time the fused runner for one backend combination."""
-    import jax.numpy as jnp
-
     from ..mapping.engine import SemanticMappingEngine
     from .pipeline import FusedFramePipeline
 
@@ -205,25 +249,9 @@ def _time_combo(
     pipeline = FusedFramePipeline(
         combo_cfg, variables, engine=engine, distortion=dist
     )
-
-    t0 = time.perf_counter()
-    run = pipeline.compile_sequence_runner(
-        camera=camera, image_hw=tuple(image_hw), window=window
+    fps, warmup_s = time_fused_runner(
+        pipeline, windows, image_hw, window, camera, repeats
     )
-    grid = pipeline.init_grid()
-    grid = run(grid, windows[0])  # first execution
-    float(jnp.sum(grid[:2, :2]))
-    warmup_s = time.perf_counter() - t0
-
-    # the runner donates the grid buffer: always thread it forward
-    elapsed = float("inf")
-    for _ in range(max(1, repeats)):
-        start = time.perf_counter()
-        for frames in windows:
-            grid = run(grid, frames)
-        float(jnp.sum(grid[:2, :2]))  # host readback barrier
-        elapsed = min(elapsed, time.perf_counter() - start)
-    fps = (window * len(windows)) / elapsed
     return {
         "fold": fold,
         "sort": sort,
