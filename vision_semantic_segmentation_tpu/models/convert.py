@@ -132,8 +132,37 @@ def load_npz(path: str) -> Dict[str, Any]:
         return _unflatten({k: data[k] for k in data.files})
 
 
+def resolve_last_checkpoint(path: str) -> str:
+    """Resolve a reference-style checkpoint location to a ``.pth`` file.
+
+    The reference's trainer writes ``<name>.pth`` plus a ``last_checkpoint``
+    pointer file holding that (possibly relative) filename
+    (ref core/utils/checkpoint.py:102-129).  Given a training output
+    DIRECTORY, follow the pointer; given a file path, return it unchanged.
+    """
+    import os
+
+    if osp.isdir(path):
+        pointer = osp.join(path, "last_checkpoint")
+        if not osp.exists(pointer):
+            raise FileNotFoundError(
+                f"{path} is a directory without a last_checkpoint pointer"
+            )
+        with open(pointer) as f:
+            named = f.read().strip()
+        if not os.path.isabs(named):
+            named = osp.join(path, named)
+        return named
+    return path
+
+
 def convert_pth_to_npz(pth_path: str, npz_path: str | None = None) -> str:
-    """One-time ``.pth -> .npz`` file conversion (SURVEY.md section 5)."""
+    """One-time ``.pth -> .npz`` file conversion (SURVEY.md section 5).
+
+    ``pth_path`` may also be a reference training output directory — its
+    ``last_checkpoint`` pointer is followed (ref checkpoint.py:102-129).
+    """
+    pth_path = resolve_last_checkpoint(pth_path)
     if npz_path is None:
         npz_path = osp.splitext(pth_path)[0] + ".npz"
     save_npz(load_torch_checkpoint(pth_path), npz_path)
