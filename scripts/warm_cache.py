@@ -8,7 +8,8 @@ draws.  AOT-compiles, in order:
     1. the driver's entry() forward (512x512),
     2. the quick-bench runner (512x768),
     3. the headline runner (1440x1920, 2000^2 dense),
-    4. the full-route runner (1440x1920, 5000x7000 windowed).
+    4. the full-route runner (1440x1920, 5000x7000 windowed),
+    5. the dual-camera runners (camera1 + camera6, window=8).
 
 Run with:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/warm_cache.py
 Prints one line per program with its compile seconds.
@@ -52,6 +53,17 @@ def main() -> None:
         _, pipeline = bench._build_pipeline(cfg, h, w, distortion)
         pipeline.compile_sequence_runner(image_hw=(h, w), window=window)
         print(f"{name} runner: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    # the dual-camera stage (bench --stage-dualcam): window=8 runners for
+    # BOTH cameras (distinct programs: calibration constants + window size)
+    cfg = get_cfg_defaults()
+    t0 = time.perf_counter()
+    _, pipeline = bench._build_pipeline(cfg, 1440, 1920, "points")
+    for camera in ("camera1", "camera6"):
+        pipeline.compile_sequence_runner(
+            camera=camera, image_hw=(1440, 1920), window=8
+        )
+    print(f"dualcam runners: {time.perf_counter() - t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":
