@@ -30,8 +30,6 @@ import pytest
 from vision_semantic_segmentation_tpu.config import get_train_cfg_defaults
 from vision_semantic_segmentation_tpu.train.trainer import Trainer
 
-pytestmark = pytest.mark.quick
-
 
 def _toy_cfg():
     cfg = get_train_cfg_defaults()
