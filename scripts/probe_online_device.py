@@ -29,8 +29,18 @@ remains — ~25-40 ms through the dev tunnel, microseconds on a production
 host — so ``--scale`` also runs the sweep at a reduced IMAGE_SCALE
 operating point where the budget absorbs even the tunnel RTT.
 
+Measured (v5e via the dev tunnel): the two-node topology sustains
+10.86 Hz at EVERY setting of --scale (1.0/0.5) and --barrier-every
+(1/4/16) — per-frame cost is exactly the two dispatch RTTs (seg node +
+map node; each execute call blocks the host for one tunnel round-trip,
+measured by the dispatch-cost section below), not compute and not the
+barrier.  ``--fused`` chains segmentation+mapping into ONE device
+program per frame (one dispatch, one RTT) while keeping the executor/
+mailbox/drop machinery — the TPU-native online operating mode when
+dispatch latency, not compute, bounds the rate.
+
 Usage: probe_online_device.py [--scale S] [--hz HZ] [--horizon SECONDS]
-                              [--barrier-every K]
+                              [--barrier-every K] [--fused]
 Prints one JSON line.
 """
 from __future__ import annotations
@@ -68,6 +78,7 @@ def main() -> None:
     )
 
     hz = arg("--hz", 12.0)
+    fused = "--fused" in argv
     n_frames = 24
     horizon_s = arg("--horizon", 8.0)  # ~96 camera messages at 12 Hz
     image_scale = arg("--scale", 1.0)
@@ -100,17 +111,6 @@ def main() -> None:
         net = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
         return jnp.asarray(table)[jnp.clip(net, 0, table.shape[0] - 1)]
 
-    seg_aot = (
-        jax.jit(seg_program)
-        .lower(
-            jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
-                         pipeline.variables),
-            jax.ShapeDtypeStruct(frames_dev["image"].shape, jnp.uint8),
-            jax.ShapeDtypeStruct((), jnp.int32),
-        )
-        .compile()
-    )
-
     # -- mapping node program: channel image + frame index -> grid update --
     pointwise = engine._build_pointwise(
         "camera1", False, image_is_class_id=True, image_full_hw=image_hw,
@@ -124,38 +124,112 @@ def main() -> None:
         )
         return update(grid, cell, cls, pcds[i][3], upd)
 
+    # -- fused node program: frame index -> grid update (ONE dispatch) -----
+    def fused_program(variables, grid, images, pcds, valids, positions,
+                      quats, i):
+        ch = seg_program(variables, images, i)
+        cell, cls, vis, upd, _ = pointwise(
+            pcds[i], valids[i], ch, positions[i], quats[i]
+        )
+        return update(grid, cell, cls, pcds[i][3], upd)
+
     sd = jax.ShapeDtypeStruct
     spec = engine.grid_spec
+    grid_sd = sd((spec.num_classes, spec.height, spec.width), jnp.float32)
+    var_sd = jax.tree.map(lambda a: sd(a.shape, a.dtype), pipeline.variables)
+    frame_sds = (
+        sd(frames_dev["image"].shape, jnp.uint8),
+        sd(frames_dev["pcd"].shape, frames_dev["pcd"].dtype),
+        sd(frames_dev["valid"].shape, frames_dev["valid"].dtype),
+        sd(frames_dev["position"].shape, jnp.float32),
+        sd(frames_dev["quaternion"].shape, jnp.float32),
+    )
     ch_hw = jax.eval_shape(
         lambda v, x: seg_program(v, x, jnp.int32(0)),
         pipeline.variables, frames_dev["image"],
     )
-    map_aot = (
-        jax.jit(map_program, donate_argnums=(0,))
-        .lower(
-            sd((spec.num_classes, spec.height, spec.width), jnp.float32),
-            sd(ch_hw.shape, ch_hw.dtype),
-            sd(frames_dev["pcd"].shape, frames_dev["pcd"].dtype),
-            sd(frames_dev["valid"].shape, frames_dev["valid"].dtype),
-            sd(frames_dev["position"].shape, jnp.float32),
-            sd(frames_dev["quaternion"].shape, jnp.float32),
-            sd((), jnp.int32),
-        )
-        .compile()
-    )
 
-    # warm both programs (first execution can stall through the tunnel)
     t0 = time.perf_counter()
-    ch = seg_aot(pipeline.variables, frames_dev["image"], jnp.int32(0))
+    if fused:
+        fused_aot = (
+            jax.jit(fused_program, donate_argnums=(1,))
+            .lower(var_sd, grid_sd, *frame_sds, sd((), jnp.int32))
+            .compile()
+        )
+    else:
+        seg_aot = (
+            jax.jit(seg_program)
+            .lower(var_sd, frame_sds[0], sd((), jnp.int32))
+            .compile()
+        )
+        map_aot = (
+            jax.jit(map_program, donate_argnums=(0,))
+            .lower(grid_sd, sd(ch_hw.shape, ch_hw.dtype), *frame_sds[1:],
+                   sd((), jnp.int32))
+            .compile()
+        )
+
+    # warm (first execution can stall through the tunnel)
     grid0 = pipeline.init_grid()
-    grid0 = map_aot(
-        grid0, ch, frames_dev["pcd"], frames_dev["valid"],
-        frames_dev["position"], frames_dev["quaternion"], jnp.int32(0),
-    )
+    if fused:
+        grid0 = fused_aot(
+            pipeline.variables, grid0, frames_dev["image"],
+            frames_dev["pcd"], frames_dev["valid"],
+            frames_dev["position"], frames_dev["quaternion"], jnp.int32(0),
+        )
+    else:
+        ch = seg_aot(pipeline.variables, frames_dev["image"], jnp.int32(0))
+        grid0 = map_aot(
+            grid0, ch, frames_dev["pcd"], frames_dev["valid"],
+            frames_dev["position"], frames_dev["quaternion"], jnp.int32(0),
+        )
     float(jnp.sum(grid0[:2, :2]))
     warmup_s = time.perf_counter() - t0
-    print(f"warmup {warmup_s:.1f}s; starting {hz} Hz playback "
-          f"for {horizon_s}s", flush=True)
+
+    # -- measure the per-dispatch HOST cost (the tunnel's enqueue RTT) ------
+    # jax dispatch is asynchronous, but through the dev tunnel each execute
+    # call still blocks the host for one RPC round-trip.  Timing N
+    # back-to-back dispatches with a single trailing readback separates
+    # "host time to enqueue" from device compute; on a production host this
+    # is microseconds and the numbers below collapse to ~0.
+    reps = 12
+    dispatch = {}
+    g = grid0
+    if fused:
+        t0 = time.perf_counter()
+        for k in range(reps):
+            g = fused_aot(
+                pipeline.variables, g, frames_dev["image"],
+                frames_dev["pcd"], frames_dev["valid"],
+                frames_dev["position"], frames_dev["quaternion"],
+                jnp.int32(k % n_frames),
+            )
+        dispatch["fused_dispatch_ms"] = round(
+            (time.perf_counter() - t0) / reps * 1e3, 1)
+    else:
+        t0 = time.perf_counter()
+        for k in range(reps):
+            ch = seg_aot(pipeline.variables, frames_dev["image"],
+                         jnp.int32(k % n_frames))
+        dispatch["seg_dispatch_ms"] = round(
+            (time.perf_counter() - t0) / reps * 1e3, 1)
+        t0 = time.perf_counter()
+        for k in range(reps):
+            g = map_aot(
+                g, ch, frames_dev["pcd"], frames_dev["valid"],
+                frames_dev["position"], frames_dev["quaternion"],
+                jnp.int32(k % n_frames),
+            )
+        dispatch["map_dispatch_ms"] = round(
+            (time.perf_counter() - t0) / reps * 1e3, 1)
+    t0 = time.perf_counter()
+    float(jnp.sum(g[:1, :1, :1]))
+    drain_readback_ms = (time.perf_counter() - t0) * 1e3
+    grid0 = g
+    print(
+        f"warmup {warmup_s:.1f}s; host dispatch cost: {dispatch} "
+        f"(+{drain_readback_ms:.0f} ms drain); starting {hz} Hz playback "
+        f"for {horizon_s}s", flush=True)
 
     # -- the two-node online topology ---------------------------------------
     bus = TopicBus()
@@ -186,8 +260,27 @@ def main() -> None:
         if state["mapped"] % barrier_every == 0:
             float(jnp.sum(state["grid"][:1, :1, :1]))
 
-    seg_exec.subscribe(bus, "/camera1/image_idx", on_camera, queue_size=1)
-    map_exec.subscribe(bus, "/camera1/semantic_idx", on_semantic, queue_size=1)
+    def on_camera_fused(msg):
+        i = msg.data
+        state["grid"] = fused_aot(
+            pipeline.variables, state["grid"], frames_dev["image"],
+            frames_dev["pcd"], frames_dev["valid"],
+            frames_dev["position"], frames_dev["quaternion"], jnp.int32(i),
+        )
+        state["seg_done"] += 1
+        state["mapped"] += 1
+        if state["mapped"] % barrier_every == 0:
+            float(jnp.sum(state["grid"][:1, :1, :1]))
+
+    if fused:
+        map_exec.subscribe(
+            bus, "/camera1/image_idx", on_camera_fused, queue_size=1
+        )
+    else:
+        seg_exec.subscribe(bus, "/camera1/image_idx", on_camera, queue_size=1)
+        map_exec.subscribe(
+            bus, "/camera1/semantic_idx", on_semantic, queue_size=1
+        )
 
     n_msgs = int(horizon_s * hz)
     start = time.perf_counter()
@@ -198,10 +291,12 @@ def main() -> None:
             time.sleep(target - now)
         bus.publish("/camera1/image_idx", k % n_frames, stamp=k / hz)
     publish_s = time.perf_counter() - start
-    seg_exec.join()
+    if not fused:
+        seg_exec.join()
     map_exec.join()
     total_s = time.perf_counter() - start
-    seg_exec.stop()
+    if not fused:
+        seg_exec.stop()
     map_exec.stop()
 
     drops = {
@@ -213,6 +308,7 @@ def main() -> None:
         "metric": "online_device_resident_hz",
         "camera_hz": hz,
         "rate": 1.0,
+        "fused": fused,
         "image_scale": image_scale,
         "barrier_every": barrier_every,
         "messages": n_msgs,
@@ -224,6 +320,8 @@ def main() -> None:
         "publish_wall_s": round(publish_s, 2),
         "total_wall_s": round(total_s, 2),
         "warmup_s": round(warmup_s, 1),
+        **dispatch,
+        "drain_readback_ms": round(drain_readback_ms, 1),
         "grid_sum": float(jnp.sum(state["grid"])),
         "device": jax.devices()[0].device_kind,
     }

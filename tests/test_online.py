@@ -332,3 +332,139 @@ class TestExecutorResilience:
         assert got == [1, 2]
         assert ex.errors["/t"] == 1
         assert ex.processed["/t"] == 2
+
+
+class TestRunOnlineFused:
+    """The fused online topology: ONE FusedOnlineNode, one device dispatch
+    per frame (segmentation+projection+update in a single XLA program).
+    Measured on the v5e (scripts/probe_online_device.py): sustains a full
+    12 Hz camera with zero drops at 1.0x playback."""
+
+    def _cfg_and_pipeline(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from test_runtime import small_cfg
+        from vision_semantic_segmentation_tpu.models.build import build_model
+        from vision_semantic_segmentation_tpu.runtime.pipeline import (
+            FusedFramePipeline,
+        )
+
+        cfg = small_cfg(tmp_path)
+        cfg.VISION_SEM_SEG.UNDISTORT = False  # bag frames are tiny synthetics
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+        model, *_ = build_model(net_cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 12, 3)))
+        pipeline = FusedFramePipeline(
+            cfg, variables, distortion="none", compute_dtype=jnp.float32
+        )
+        return cfg, pipeline
+
+    def test_fused_topology_fuses_all_frames(self, rng, tmp_path):
+        cfg, pipeline = self._cfg_and_pipeline(tmp_path)
+        path = tmp_path / "drive.bag"
+        _make_bag(path, rng, n_frames=4)
+        report = run_online(
+            cfg, str(path), rate=20.0, fused=True, pipeline=pipeline,
+            finalize=False,
+        )
+        done = report.processed.get("fused:/camera1/image_raw", 0)
+        dropped = report.drops.get("fused:/camera1/image_raw", 0)
+        assert done + dropped == 4
+        assert done >= 1
+        # single-node topology: no seg-stage topics in the report
+        assert not any(k.startswith("seg:") for k in report.processed)
+        assert report.processed.get("fused:/current_pose", 0) == 4
+
+    def test_fused_node_matches_direct_pipeline_steps(self, rng, tmp_path):
+        """Inline (executor-less) FusedOnlineNode over bus messages ==
+        chaining FusedFramePipeline.step directly: the online wrapper adds
+        sync/bookkeeping, never math."""
+        import numpy as np
+
+        from vision_semantic_segmentation_tpu.mapping.engine import pad_points
+        from vision_semantic_segmentation_tpu.runtime.node import (
+            FusedOnlineNode,
+        )
+
+        cfg, pipeline = self._cfg_and_pipeline(tmp_path)
+        bus = TopicBus()
+        node = FusedOnlineNode(cfg, bus, pipeline=pipeline)
+        assert node.pcd_topic == "/reduced_map"
+
+        frames = []
+        pts = (rng.random((4, 30)).astype(np.float32)
+               * np.array([[40], [40], [2], [20]], np.float32)
+               + np.array([[100], [140], [-1], [0]], np.float32))
+        for i in range(3):
+            stamp = 5.0 + i
+            img = (rng.random((8, 12, 3)) * 255).astype(np.uint8)
+            pos = np.array([120.0 + i, 160.0, 0.0])
+            quat = np.array([0.0, 0.0, 0.0, 1.0])
+            frames.append((stamp, img, pos, quat))
+            bus.publish("/reduced_map", pts, stamp=stamp, frame_id="world")
+            bus.publish("/current_pose", (pos, quat), stamp=stamp)
+            bus.publish("/camera1/image_raw", img, stamp=stamp,
+                        frame_id="camera1")
+        assert node.fused_frames == 3 and node.dropped_frames == 0
+
+        grid = pipeline.init_grid()
+        pcd_pad, valid = pad_points(pts, node.engine.point_bucket)
+        for stamp, img, pos, quat in frames:
+            grid, _ = pipeline.step(
+                grid, img, pcd_pad, valid, pos, quat,
+                camera="camera1", pcd_frame_id="world",
+            )
+        np.testing.assert_array_equal(np.asarray(node.grid), np.asarray(grid))
+
+    def test_fused_node_rejects_planar_depth(self, tmp_path):
+        from vision_semantic_segmentation_tpu.runtime.node import (
+            FusedOnlineNode,
+        )
+
+        cfg, pipeline = self._cfg_and_pipeline(tmp_path)
+        cfg.MAPPING.DEPTH_METHOD = "planar"
+        with pytest.raises(ValueError, match="planar"):
+            FusedOnlineNode(cfg, TopicBus(), pipeline=pipeline)
+
+    def test_pipeline_rate_fused_cli(self, rng, tmp_path):
+        """`pipeline --rate R --fused`: the fused online mode through the
+        CLI (the offline `--fused` windowed path keeps its meaning when
+        --rate is absent)."""
+        import jax
+        import jax.numpy as jnp
+
+        from test_runtime import small_cfg
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.models import build_model
+        from vision_semantic_segmentation_tpu.models.convert import save_npz
+
+        cfg = small_cfg(tmp_path)
+        cfg.VISION_SEM_SEG.UNDISTORT = False
+        net_cfg = cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+        net_cfg.MODEL.TYPE = "Dummy"
+        net_cfg.MODEL.COMPUTE_DTYPE = "float32"
+        model, *_ = build_model(net_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 12, 3), jnp.float32)
+        )
+        weight = str(tmp_path / "w.npz")
+        save_npz(variables, weight)
+        net_cfg.MODEL.WEIGHT = weight
+
+        bag = tmp_path / "cli.bag"
+        _make_bag(bag, rng, n_frames=3)
+        cfg_path = str(tmp_path / "online.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.dump())
+
+        report = main([
+            "pipeline", "--cfg", cfg_path, "--bag", str(bag),
+            "--rate", "30", "--fused",
+        ])
+        assert report.published == 10
+        assert report.processed.get("fused:/current_pose", 0) == 3
+        done = report.processed.get("fused:/camera1/image_raw", 0)
+        dropped = report.drops.get("fused:/camera1/image_raw", 0)
+        assert done + dropped == 3

@@ -62,14 +62,18 @@ def cmd_pipeline(args):
     from .utils.ros_compat import TransformTree
 
     cfg = _load_app_cfg(args.cfg)
-    if getattr(args, "fused", False):
+    fused = getattr(args, "fused", False)
+    if fused and not getattr(args, "rate", 0):
         return _fused_pipeline(
             cfg, args.bag, confidence=getattr(args, "confidence", False)
         )
     if getattr(args, "rate", 0):
-        # online mode: both nodes on their own executor threads, the bag
-        # played at wall-clock rate, overload surfacing as frame drops
-        # (the reference's live camera1_mapping.launch behavior)
+        # online mode at wall-clock rate, overload surfacing as frame
+        # drops (the reference's live camera1_mapping.launch behavior).
+        # Default: both nodes on their own executor threads; --fused
+        # runs ONE FusedOnlineNode (single dispatch per frame — zero
+        # drops at a full-rate 12 Hz camera on the v5e where the
+        # two-node path tops out at ~10.9 Hz).
         if not args.bag.endswith(".bag"):
             raise SystemExit(
                 "--rate needs a ROS .bag recording (its timeline drives the "
@@ -78,7 +82,7 @@ def cmd_pipeline(args):
             )
         from .runtime.async_bus import run_online
 
-        report = run_online(cfg, args.bag, rate=float(args.rate))
+        report = run_online(cfg, args.bag, rate=float(args.rate), fused=fused)
         print(
             f"online replay @ {report.rate}x: {report.published} msgs in "
             f"{report.wall_duration_s:.1f}s (bag {report.bag_duration_s:.1f}s), "
@@ -512,7 +516,10 @@ def main(argv=None):
     p.add_argument("--bag", required=True, help=".npz sequence or ROS .bag file")
     p.add_argument(
         "--fused", action="store_true",
-        help="single-dispatch production pipeline (windowed, HBM grid)",
+        help="single-dispatch production pipeline (windowed, HBM grid); "
+        "with --rate: one FusedOnlineNode instead of the two-node "
+        "topology (one dispatch/frame — sustains a full-rate 12 Hz "
+        "camera with zero drops on the v5e)",
     )
     p.add_argument(
         "--rate", type=float, default=0.0, metavar="R",
@@ -663,7 +670,31 @@ def main(argv=None):
     p.set_defaults(fn=cmd_video)
 
     args = parser.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
+
+
+def _enable_compile_cache():
+    """Point JAX at the persistent compilation cache before any command
+    compiles.  Device-heavy subcommands (autotune --serving alone compiles
+    ~24 fused-runner programs) would otherwise pay the nondeterministic
+    compile service (measured 20 s-19 min per program) again on every
+    invocation.  Honors an explicit JAX_COMPILATION_CACHE_DIR; defaults to
+    the cache bench.py/warm_cache.py already share."""
+    import os
+
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/tmp/vss_tpu_jax_cache"
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # CPU-only / stripped installs still get the CLI
+        pass
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@ from .io import (
     load_reference_dump,
     save_frames,
 )
-from .node import MappingNode, SegmentationNode
+from .node import FusedOnlineNode, MappingNode, SegmentationNode
 from .replay import MappingReplay
 from .video import generate_video
 from .pipeline import FusedFramePipeline, network_to_channel_table
@@ -21,6 +21,7 @@ __all__ = [
     "load_frames",
     "load_reference_dump",
     "save_frames",
+    "FusedOnlineNode",
     "MappingNode",
     "SegmentationNode",
     "MappingReplay",

@@ -239,8 +239,10 @@ def run_online(
     predictor=None,
     engine=None,
     finalize: bool = True,
+    fused: bool = False,
+    pipeline=None,
 ) -> PlaybackReport:
-    """Drive a bag through BOTH nodes concurrently at a wall-clock rate.
+    """Drive a bag through the online node topology at a wall-clock rate.
 
     The online equivalent of the reference's camera1_mapping.launch: the
     segmentation node and the mapping node each run on their own executor
@@ -248,39 +250,58 @@ def run_online(
     topics use history-deep mailboxes feeding the node's own sync queues.
     Returns a :class:`PlaybackReport` with per-topic drop counts.
 
-    ``predictor`` / ``engine`` inject a prebuilt SemanticSegmentation /
-    SemanticMappingEngine (tests use light doubles).
+    ``fused=True`` replaces the two-node topology with ONE
+    :class:`~.node.FusedOnlineNode` (single device dispatch per frame —
+    segmentation+projection+update in one XLA program).  Measured on the
+    v5e: the fused node sustains a full 12 Hz camera with zero drops at
+    1.0x where the two-node path tops out at ~10.9 Hz
+    (scripts/probe_online_device.py; ref README.md:194 needs 0.1x).
+
+    ``predictor`` / ``engine`` / ``pipeline`` inject prebuilt
+    SemanticSegmentation / SemanticMappingEngine / FusedFramePipeline
+    instances (tests use light doubles; ``pipeline`` only applies to the
+    fused topology, ``predictor`` only to the two-node one).
     """
     from ..mapping.engine import SemanticMappingEngine
     from ..utils.ros_compat import TransformTree
-    from .node import MappingNode, SegmentationNode
+    from .node import FusedOnlineNode, MappingNode, SegmentationNode
 
     bus = TopicBus()
-    seg_exec = NodeExecutor("segmentation")
-    map_exec = NodeExecutor("mapping")
     tf_tree = TransformTree()
-    seg_node = SegmentationNode(cfg, bus, predictor=predictor, executor=seg_exec)
-    mapping_node = MappingNode(
-        cfg, bus, engine=engine or SemanticMappingEngine(cfg),
-        tf_tree=tf_tree, executor=map_exec,
-    )
+    if fused:
+        map_exec = NodeExecutor("fused")
+        mapping_node = FusedOnlineNode(
+            cfg, bus, pipeline=pipeline,
+            variables=getattr(predictor, "variables", None),
+            engine=engine, tf_tree=tf_tree, executor=map_exec,
+        )
+        execs = [("fused", map_exec)]
+    else:
+        seg_exec = NodeExecutor("segmentation")
+        map_exec = NodeExecutor("mapping")
+        SegmentationNode(cfg, bus, predictor=predictor, executor=seg_exec)
+        mapping_node = MappingNode(
+            cfg, bus, engine=engine or SemanticMappingEngine(cfg),
+            tf_tree=tf_tree, executor=map_exec,
+        )
+        # seg publishes /<camera>/semantic on ITS executor thread -> the
+        # bus delivers into mapping's mailbox: a real two-stage pipeline
+        # (the device forward of frame i+1 overlaps the fusion of frame i)
+        execs = [("seg", seg_exec), ("map", map_exec)]
 
-    # seg publishes /<camera>/semantic on ITS executor thread -> the bus
-    # delivers into mapping's mailbox: a real two-stage pipeline (the
-    # device forward of frame i+1 overlaps the fusion of frame i).
     report = play_bag_timed(bag_path, bus, rate=rate)
-    seg_exec.join()
-    map_exec.join()   # mapping drains the frames seg published while joining
-    seg_exec.stop()
-    map_exec.stop()
+    for _, ex in execs:
+        ex.join()     # mapping drains frames published upstream while joining
+    for _, ex in execs:
+        ex.stop()
 
     report.drops = {
-        **{f"seg:{t}": n for t, n in seg_exec.drops.items() if n},
-        **{f"map:{t}": n for t, n in map_exec.drops.items() if n},
+        f"{prefix}:{t}": n
+        for prefix, ex in execs for t, n in ex.drops.items() if n
     }
     report.processed = {
-        **{f"seg:{t}": n for t, n in seg_exec.processed.items()},
-        **{f"map:{t}": n for t, n in map_exec.processed.items()},
+        f"{prefix}:{t}": n
+        for prefix, ex in execs for t, n in ex.processed.items()
     }
     # finalize unless the TEST_END_TIME cutoff already did (ref mapping.py:323)
     if finalize and mapping_node.grid is not None and mapping_node.finalized_map is None:

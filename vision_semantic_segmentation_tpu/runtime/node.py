@@ -185,6 +185,10 @@ class MappingNode:
             frame.
     """
 
+    #: image topics this node consumes; FusedOnlineNode overrides to take
+    #: RAW camera frames directly (no intermediate semantic topic)
+    IMAGE_TOPICS = ("/camera1/semantic", "/camera6/semantic")
+
     def __init__(self, cfg, bus: TopicBus, engine: Optional[SemanticMappingEngine] = None,
                  record_inputs: bool = False, tf_tree=None, executor=None):
         self.cfg = cfg
@@ -218,8 +222,8 @@ class MappingNode:
         # history topics get deep mailboxes (they feed this node's own
         # sync queues); semantic frames keep-latest depth 1
         _sub("/current_pose", self.pose_callback, queue_size=256)
-        _sub("/camera1/semantic", self.image_callback, queue_size=1)
-        _sub("/camera6/semantic", self.image_callback, queue_size=1)
+        for topic in self.IMAGE_TOPICS:
+            _sub(topic, self.image_callback, queue_size=1)
         if tf_tree is not None:
             _sub("/tf", self._tf_callback, queue_size=256)
         self._tf_cameras_registered: set = set()
@@ -333,18 +337,17 @@ class MappingNode:
                     )
                 )
             pcd_pad, valid = pad_points(pcd, self.engine.point_bucket)
-            self.grid, point_cls, point_vis = self.engine.step(
-                self.grid, pcd_pad, valid, np.asarray(msg.data),
-                position, quaternion, camera=msg.frame_id,
-                pcd_frame_id=pcd_msg.frame_id,
+            labeled = self._fuse_cloud(
+                msg, pcd_pad, valid, position, quaternion, pcd_msg.frame_id
             )
             self.fused_frames += 1
-            # labeled cloud for downstream consumers (ref :316-317)
-            self.bus.publish(
-                "/semantic_point_cloud",
-                (pcd_pad, np.asarray(point_cls), np.asarray(point_vis)),
-                stamp=msg.stamp, frame_id=pcd_msg.frame_id,
-            )
+            if labeled is not None:
+                # labeled cloud for downstream consumers (ref :316-317)
+                self.bus.publish(
+                    "/semantic_point_cloud",
+                    (pcd_pad, labeled[0], labeled[1]),
+                    stamp=msg.stamp, frame_id=pcd_msg.frame_id,
+                )
         else:
             # planar fallback (ref :321,446-488): ground-plane homography
             # driven by the synced pose — the reference's TF lookup of
@@ -358,6 +361,19 @@ class MappingNode:
 
         if self.save_map_to_file:
             self.finalize()
+
+    def _fuse_cloud(self, msg, pcd_pad, valid, position, quaternion,
+                    pcd_frame_id):
+        """One cloud-mode fusion dispatch.  Returns the labeled cloud
+        ``(point_cls, point_vis)`` for the /semantic_point_cloud republish,
+        or ``None`` when the fused program doesn't materialize one
+        (:class:`FusedOnlineNode`)."""
+        self.grid, point_cls, point_vis = self.engine.step(
+            self.grid, pcd_pad, valid, np.asarray(msg.data),
+            position, quaternion, camera=msg.frame_id,
+            pcd_frame_id=pcd_frame_id,
+        )
+        return np.asarray(point_cls), np.asarray(point_vis)
 
     def _planar_transform(self, position, quaternion) -> np.ndarray:
         """local_map -> base_link from the synced pose (ref mapping.py:454-458)."""
@@ -410,3 +426,77 @@ class MappingNode:
         self.finalized_map = color_map
         self.save_map_to_file = False
         return color_map
+
+
+class FusedOnlineNode(MappingNode):
+    """Single-dispatch online node: RAW camera frame + pose + cloud ->
+    one fused XLA program per frame (undistort/scale/forward/projection/
+    Bayesian update) via :meth:`FusedFramePipeline.step`.
+
+    The two-node topology (SegmentationNode -> MappingNode) pays two
+    device dispatches per camera frame.  Chaining both stages inside one
+    program halves the per-frame dispatch overhead — measured on the v5e
+    (scripts/probe_online_device.py): at a 12 Hz camera and 1.0x
+    playback the two-node path sustains 10.9 Hz (10 drops/96 frames,
+    invariant to IMAGE_SCALE and readback amortization — it is
+    dispatch-bound, not compute-bound), while the fused node sustains
+    the FULL 12 Hz with ZERO drops.  The reference needs the bag slowed
+    to 0.1x for zero drops (ref README.md:194).
+
+    Trade-offs vs the two-node topology: no ``/cameraX/semantic``
+    republish and no ``/semantic_point_cloud`` labeled cloud (downstream
+    consumers of either need the two-node mode), and no frame-level
+    overlap of forward(i+1) with fusion(i) — the fused program's only
+    consumer is the grid, so XLA pipelines internally instead.
+
+    Sync semantics, drop accounting, TF extrinsics registration,
+    TEST_END_TIME finalization, and the output artifacts are all
+    inherited from :class:`MappingNode` unchanged.
+    """
+
+    IMAGE_TOPICS = ("/camera1/image_raw", "/camera6/image_raw")
+
+    def __init__(self, cfg, bus: TopicBus, pipeline=None, variables=None,
+                 engine: Optional[SemanticMappingEngine] = None, **kwargs):
+        """``pipeline`` injects a prebuilt FusedFramePipeline (tests use
+        light doubles); otherwise one is built from ``variables`` (or the
+        config's MODEL.WEIGHT via SemanticSegmentation's loader), with
+        distortion handled on the projected points when
+        VISION_SEM_SEG.UNDISTORT is set (the TPU-first production path —
+        see FusedFramePipeline's distortion docstring)."""
+        if pipeline is None:
+            from .pipeline import FusedFramePipeline
+
+            if variables is None:
+                from ..inference.predictor import SemanticSegmentation
+
+                variables = SemanticSegmentation(
+                    cfg.VISION_SEM_SEG.SEM_SEG_NETWORK
+                ).variables
+            undistort = (
+                bool(cfg.VISION_SEM_SEG.UNDISTORT)
+                if "UNDISTORT" in cfg.VISION_SEM_SEG
+                else True
+            )
+            pipeline = FusedFramePipeline(
+                cfg, variables, engine=engine,
+                distortion="points" if undistort else "none",
+            )
+        self.pipeline = pipeline
+        super().__init__(cfg, bus, engine=pipeline.engine, **kwargs)
+        if self.depth_method not in ("points_map", "points_raw"):
+            raise ValueError(
+                "FusedOnlineNode needs a cloud DEPTH_METHOD (points_map/"
+                "points_raw); the planar path has no fused program — use "
+                "the two-node topology for MAPPING.DEPTH_METHOD="
+                f"{self.depth_method!r}"
+            )
+
+    def _fuse_cloud(self, msg, pcd_pad, valid, position, quaternion,
+                    pcd_frame_id):
+        self.grid, _ = self.pipeline.step(
+            self.grid, np.asarray(msg.data), pcd_pad, valid,
+            position, quaternion, camera=msg.frame_id,
+            pcd_frame_id=pcd_frame_id,
+        )
+        return None
