@@ -204,6 +204,56 @@ class TestUpsamplePredInFusedPipeline:
         del frame
 
 
+class TestMappedCrops:
+    def test_uniform_crops_cover_background(self):
+        """Crop mixing: even crops are mapped-class-centered, odd crops
+        uniform.  With ONLY centered crops the background classes starve
+        and the net over-predicts the mapped classes outside them
+        (measured r04: precision 0.00 / 2.47M false-positive crosswalk
+        pixels on held-out views at scale 1.0)."""
+        from vision_semantic_segmentation_tpu.evaluation.synthetic_scene import (
+            _mapped_crops,
+        )
+
+        rng = np.random.default_rng(11)
+        h, w = 800, 1000
+        lab = np.zeros((2, h, w), np.int32)
+        lab[:, :20, :20] = 2  # mapped pixels confined to one corner
+        img = np.zeros((2, h, w, 3), np.float32)
+        imgs, labs = _mapped_crops(img, lab, (513, 513), 4, (2, 1, 8), rng)
+        assert imgs.shape == (8, 513, 513, 3)
+        assert labs.shape == (8, 513, 513)
+        # centered crops (even j) must contain mapped pixels
+        assert all((labs[i] == 2).any() for i in (0, 2, 4, 6))
+        # at least one uniform crop (odd j) lands on pure background
+        assert any(not (labs[i] == 2).any() for i in (1, 3, 5, 7))
+
+    def test_centered_crops_cycle_through_present_classes(self):
+        """Balanced centering: a class with 100x fewer pixels than road
+        still gets a centered crop per frame.  Centering on a random
+        mapped-UNION pixel starved thin classes (lane landed in 1 crop
+        of 16 at scale 1.0 -> the net memorized that crop: 0.997 recall
+        on the exact train set, 0.008 held-out — measured r04)."""
+        from vision_semantic_segmentation_tpu.evaluation.synthetic_scene import (
+            _mapped_crops,
+        )
+
+        rng = np.random.default_rng(0)
+        h, w = 2000, 2000
+        lab = np.zeros((4, h, w), np.int32)
+        lab[:, 600:1400, 600:1400] = 2          # dominant road
+        lab[:, 100:104, 100:104] = 8            # 16-px lane corner
+        img = np.zeros((4, h, w, 3), np.float32)
+        imgs, labs = _mapped_crops(img, lab, (513, 513), 6, (2, 1, 8), rng)
+        assert imgs.shape == (24, 513, 513, 3)
+        per_frame = labs.reshape(4, 6, 513, 513)
+        # every frame contributes a lane-containing centered crop even
+        # though lane is ~1/40000 of the mapped pixels
+        assert all((per_frame[f] == 8).any(axis=(1, 2)).any() for f in range(4))
+        # and a road-centered one
+        assert all((per_frame[f] == 2).any(axis=(1, 2)).any() for f in range(4))
+
+
 class TestScoreQualityOnTinyScene:
     @pytest.mark.slow
     def test_quality_row_mechanics(self, tmp_path):

@@ -629,8 +629,10 @@ def main(argv=None):
     p.add_argument("--scene-dir", default="",
                    help="[serving] directory for golden-scene artifacts "
                    "(reused across runs; default <out dir>/serving_scene)")
-    p.add_argument("--train-steps", type=int, default=200,
-                   help="[serving] max segmenter train steps per point")
+    p.add_argument("--train-steps", type=int, default=400,
+                   help="[serving] max segmenter train steps per point "
+                   "(the held-out generalization gate usually stops well "
+                   "before the cap at small scales)")
     p.add_argument("--train-batch", type=int, default=0,
                    help="[serving] segmenter train mini-batch (0 = all 8 frames)")
     p.add_argument("--budget", type=float, default=0.95,

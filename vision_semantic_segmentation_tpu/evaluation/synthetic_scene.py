@@ -256,24 +256,41 @@ def _mapped_crops(
     mapped_classes: Tuple[int, ...],
     rng: np.random.Generator,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Random crops centered on mapped-class pixels.
+    """Class-BALANCED random crops alternating with uniform-random ones.
 
     At serving scales >~0.27 a full frame exceeds the training memory
     envelope (b8 @ 513^2 f32 already OOMs the 16 GB HBM —
-    scripts/probe_train_step.py), and sky dominates random crops; crops
-    keep the ground sampling distance, so the train/serve scale-match
-    discipline (fixture finding, r02) still holds."""
+    scripts/probe_train_step.py); crops keep the ground sampling
+    distance, so the train/serve scale-match discipline (fixture
+    finding, r02) still holds.  Two measured failure modes shape the
+    sampling policy (both r04, scale 1.0):
+
+    * Centered crops CYCLE through the mapped classes present in each
+      frame instead of centering on a random mapped-union pixel: the
+      union is ~95% road, so thin classes can land in ~one crop of the
+      whole set — the net then memorizes that single crop (0.997 recall
+      on the EXACT train crops, measured) with zero generalization
+      pressure (held-out lane recall 0.008, map IoU 0).
+    * Every other crop is uniform-random: with ONLY class-centered
+      crops the background is so under-represented that the net
+      over-predicts the mapped classes outside them (precision 0.00 /
+      2.47M false-positive crosswalk pixels on held-out views)."""
     ch, cw = crop_hw
     imgs, labs = [], []
     for img, lab in zip(images, targets):
         h, w = lab.shape
-        ys, xs = np.nonzero(np.isin(lab, mapped_classes))
-        for _ in range(per_frame):
-            if ys.size:
+        present = [c for c in mapped_classes if (lab == c).any()]
+        locs = {c: np.nonzero(lab == c) for c in present}
+        ci = 0
+        for j in range(per_frame):
+            if present and j % 2 == 0:
+                ys, xs = locs[present[ci % len(present)]]
+                ci += 1
                 k = int(rng.integers(ys.size))
                 cy, cx = int(ys[k]), int(xs[k])
             else:
-                cy, cx = h // 2, w // 2
+                cy = int(rng.integers(h)) if h > ch else h // 2
+                cx = int(rng.integers(w)) if w > cw else w // 2
             y0 = int(np.clip(cy - ch // 2, 0, h - ch))
             x0 = int(np.clip(cx - cw // 2, 0, w - cw))
             imgs.append(img[y0 : y0 + ch, x0 : x0 + cw])
@@ -294,6 +311,9 @@ def train_segmenter(
     target_recall: float = 0.93,
     quality_floor: Optional[Tuple[float, float]] = (0.97, 0.85),
     batch_size: Optional[int] = None,
+    val_frames: Optional[Sequence[np.ndarray]] = None,
+    val_labels: Optional[Sequence[np.ndarray]] = None,
+    val_target: float = 0.85,
     log=None,
 ) -> float:
     """Overfit DeepLabV3+ to the scene colors; save .npz weights.
@@ -312,6 +332,13 @@ def train_segmenter(
     measured), and map completeness tracks held-out road recall.
     ``quality_floor=(acc, min_recall)`` raises if the net failed to
     overfit; pass None to skip (callers that score quality downstream).
+
+    ``val_frames``/``val_labels`` (held-out VIEWS of the scene) arm a
+    generalization gate: once the train-batch gate clears, training
+    continues until running-stats eval recall AND precision on the
+    held-out crops reach ``val_target`` (or ``max_steps``).  Train-batch
+    metrics alone can lie — at scale 1.0 a net reached 0.997 on its
+    exact train crops while held-out lane recall was 0.008 (r04).
     """
     import jax
     import jax.numpy as jnp
@@ -331,14 +358,26 @@ def train_segmenter(
     targets = np.stack(labels).astype(np.int32)
     h, w = targets.shape[1:3]
     crop_hw = (min(h, 513), min(w, 513))
+    val_images = val_targets = None
+    if val_frames is not None:
+        val_images = (
+            np.stack(val_frames).astype(np.float32) / 255.0 - IMAGENET_MEAN
+        ) / IMAGENET_STD
+        val_targets = np.stack(val_labels).astype(np.int32)
     if crop_hw != (h, w):
-        # large serving scales: train on mapped-class-centered 513^2
-        # crops at the SAME ground sampling distance (see _mapped_crops)
-        per_frame = max(1, -(-16 // images.shape[0]))
+        # large serving scales: train on class-balanced 513^2 crops at
+        # the SAME ground sampling distance (see _mapped_crops); at
+        # least one centered crop per mapped class per frame
+        per_frame = max(2 * len(mapped_classes), -(-16 // images.shape[0]))
         images, targets = _mapped_crops(
             images, targets, crop_hw, per_frame, mapped_classes,
             np.random.default_rng(11),
         )
+        if val_images is not None:
+            val_images, val_targets = _mapped_crops(
+                val_images, val_targets, crop_hw, per_frame,
+                mapped_classes, np.random.default_rng(101),
+            )
         if batch_size is None:
             batch_size = 4  # b8 @ 513^2 f32 OOMs 16 GB HBM (probe_train_step)
     n = images.shape[0]
@@ -368,7 +407,60 @@ def train_segmenter(
     step_fn = make_train_step(num_classes=19)
     step = jax.jit(step_fn).lower(state, batches[0]).compile()
 
+    eval_step = None
+    if val_images is not None:
+        eval_step = jax.jit(
+            lambda p, s, x: jnp.argmax(
+                model.apply(
+                    {"params": p, "batch_stats": s}, x, train=False
+                ),
+                -1,
+            )
+        ).lower(
+            state.params, state.batch_stats, jnp.asarray(val_images[:b])
+        ).compile()
+
+    def _val_gate():
+        """Running-stats recall AND precision on the held-out crops.
+
+        Classes absent from the val crops are skipped for recall, but a
+        false-positive flood of an absent class still holds the gate
+        (precision counts whenever the class is predicted)."""
+        nv = val_images.shape[0]
+        preds = []
+        for i in range(0, nv, b):
+            xs = val_images[i : i + b]
+            pad = b - xs.shape[0]
+            if pad:
+                xs = np.concatenate([xs, val_images[:pad]])
+            out = np.asarray(
+                eval_step(state.params, state.batch_stats, jnp.asarray(xs))
+            )
+            preds.append(out[: b - pad] if pad else out)
+        pred = np.concatenate(preds)
+        ok, stats = True, {}
+        for c in mapped_classes:
+            tp = int(((pred == c) & (val_targets == c)).sum())
+            support = int((val_targets == c).sum())
+            predicted = int((pred == c).sum())
+            r = tp / support if support else float("nan")
+            p = tp / predicted if predicted else float("nan")
+            stats[c] = (round(r, 4), round(p, 4))
+            if support and (r < val_target or not (p >= val_target)):
+                ok = False
+            # absent class: only a MATERIAL false-positive flood (>0.2%
+            # of val pixels) holds the gate — a few stray pixels of a
+            # class the val views don't see must not pin it open
+            if (
+                not support
+                and predicted > 0.002 * val_targets.size
+                and p < val_target
+            ):
+                ok = False
+        return ok, stats
+
     acc, recalls = 0.0, {}
+    val_ok, next_val = eval_step is None, 0
     for it in range(max_steps):
         state, metrics = step(state, batches[it % len(batches)])
         conf = np.asarray(metrics["confusion"])
@@ -376,10 +468,38 @@ def train_segmenter(
         recalls = {
             c: float(conf[c, c] / max(conf[c].sum(), 1.0)) for c in mapped_classes
         }
+        # gate on precision too: a recall-only stop passes a net that
+        # over-predicts the mapped classes outside their true extent,
+        # which collapses map IoU via false positives (r04 finding)
+        precisions = {
+            c: float(conf[c, c] / max(conf[:, c].sum(), 1.0))
+            for c in mapped_classes
+        }
         if log and (it + 1) % 50 == 0:
-            log(f"  train step {it + 1}: acc={acc:.3f} recalls={recalls}")
-        if min(recalls.values()) >= target_recall and it >= min_steps - 1:
+            log(
+                f"  train step {it + 1}: acc={acc:.3f} recalls={recalls} "
+                f"precisions={precisions}"
+            )
+        train_gate = (
+            min(recalls.values()) >= target_recall
+            and min(precisions.values()) >= target_recall
+            and it >= min_steps - 1
+        )
+        if train_gate and not val_ok and it >= next_val:
+            val_ok, vstats = _val_gate()
+            next_val = it + 25  # bound the eval cost while converging
+            if log:
+                log(
+                    f"  val step {it + 1}: ok={val_ok} "
+                    f"(recall, precision)={vstats}"
+                )
+        if train_gate and val_ok:
             break
+    if eval_step is not None and not val_ok and log:
+        log(
+            f"  WARNING: held-out gate never reached {val_target} within "
+            f"{max_steps} steps; saving anyway (score will reflect it)"
+        )
     if quality_floor is not None:
         acc_floor, recall_floor = quality_floor
         assert acc >= acc_floor and min(recalls.values()) >= recall_floor, (

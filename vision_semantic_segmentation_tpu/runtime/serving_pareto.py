@@ -183,9 +183,15 @@ class SceneArtifacts:
             for i in range(len(self.poses))
         ]
         # 8 training frames spanning viewpoints and yaws (fixture recipe)
-        self.train_idx = list(
-            range(0, len(self.poses), max(1, len(self.poses) // 8))
-        )[:8]
+        stride = max(1, len(self.poses) // 8)
+        self.train_idx = list(range(0, len(self.poses), stride))[:8]
+        # held-out views arm the trainer's generalization gate (train
+        # metrics can lie — memorized-crop collapse, r04); 8 views so
+        # every mapped class is visible in the val crop set
+        self.val_idx = [
+            min(i + max(1, stride // 2), len(self.poses) - 1)
+            for i in self.train_idx
+        ]
         self._staged: Dict[Tuple, Tuple] = {}
 
     def staged_windows(self, bucket: int, window: int):
@@ -233,7 +239,7 @@ def score_quality(
     scene: SceneArtifacts,
     point: Dict,
     cfg=None,
-    train_steps: int = 200,
+    train_steps: int = 400,
     train_batch: Optional[int] = None,
     compute_dtype=None,
     map_window: int = 10,
@@ -273,22 +279,24 @@ def score_quality(
     )
     if not osp.exists(weight_path):
         # network input = the pipeline's area-resized frame at this scale
-        if point["image_scale"] >= 1.0:
-            train_imgs = [
-                scene.images[i].astype(np.float32) for i in scene.train_idx
-            ]
-            train_labels = [scene.net_labels[i] for i in scene.train_idx]
-        else:
-            train_imgs = [
-                np.asarray(
-                    resize_area(jnp.asarray(scene.images[i]), hw)
-                ).astype(np.float32)
-                for i in scene.train_idx
-            ]
-            train_labels = [
-                subsample_labels(scene.net_labels[i], hw)
-                for i in scene.train_idx
-            ]
+        def _prep(idx):
+            if point["image_scale"] >= 1.0:
+                return (
+                    [scene.images[i].astype(np.float32) for i in idx],
+                    [scene.net_labels[i] for i in idx],
+                )
+            return (
+                [
+                    np.asarray(
+                        resize_area(jnp.asarray(scene.images[i]), hw)
+                    ).astype(np.float32)
+                    for i in idx
+                ],
+                [subsample_labels(scene.net_labels[i], hw) for i in idx],
+            )
+
+        train_imgs, train_labels = _prep(scene.train_idx)
+        val_imgs, val_labels = _prep(scene.val_idx)
         train_segmenter(
             train_imgs,
             train_labels,
@@ -297,6 +305,8 @@ def score_quality(
             output_stride=int(point["output_stride"]),
             max_steps=train_steps,
             batch_size=train_batch,
+            val_frames=val_imgs,
+            val_labels=val_labels,
             log=log,
         )
     train_s = time.perf_counter() - t0
