@@ -17,6 +17,11 @@ Stages (each timed independently; the whole run never exits non-zero):
     pose-centered update window.  Runs in a time-boxed SUBPROCESS so a
     slow compile or a backend abort degrades to a ``skipped`` field
     instead of losing the whole artifact (the round-2 failure mode).
+  * DUALCAM — camera1 + camera6 windows fused into one grid (the
+    reference runs both cameras into one map, ref mapping.py:528-541).
+  * PARETO — the ``autotune --serving`` sweep's recommended operating
+    point (configs/serving_pareto.json) re-timed live, reported with its
+    sweep-measured golden-scene mIoU.
 
 Honesty notes:
   * Every window holds DIFFERENT frames (images and point clouds are
@@ -515,6 +520,58 @@ def run_dualcam() -> dict:
     }
 
 
+PARETO_JSON = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "configs", "serving_pareto.json"
+)
+
+
+def run_pareto() -> dict:
+    """Serving-Pareto recommended operating point (VERDICT r03 #1).
+
+    ``autotune --serving`` sweeps backbone x OUTPUT_STRIDE x IMAGE_SCALE
+    x UPSAMPLE_PRED on this hardware: every point timed through the real
+    fused runner on-device AND scored for golden-scene map mIoU with a
+    per-point trained network (runtime/serving_pareto.py).  The sweep's
+    artifact is checked in (configs/serving_pareto.json); this stage
+    re-times the RECOMMENDED point's fused runner live and reports it
+    next to the sweep-measured quality (quality needs trained weights
+    and a ~2 h sweep, so it is not re-scored per bench run).  Mirrors
+    the reference's own deployment knob (ref base_cfg.py:91).
+    """
+    jax = _setup_jax()
+
+    from vision_semantic_segmentation_tpu.config import get_cfg_defaults
+    from vision_semantic_segmentation_tpu.runtime.serving_pareto import (
+        sweep_fps,
+    )
+
+    with open(PARETO_JSON) as f:
+        sweep = json.load(f)
+    rec = sweep["recommended"]
+    point = {
+        k: rec[k]
+        for k in ("backbone", "output_stride", "image_scale", "upsample_pred")
+    }
+    _progress(f"pareto recommended point: {point}")
+    row = sweep_fps(
+        get_cfg_defaults(), [point], image_hw=(1440, 1920),
+        window=16, n_windows=2, repeats=3, log=_progress,
+    )[0]
+    return {
+        "metric": "serving_pareto_recommended_fps_1440x1920",
+        "value": row["fps"],
+        "unit": "frames/s",
+        "vs_baseline": round(row["fps"] / BASELINE_FPS, 2),
+        "point": point,
+        "warmup_s": row["warmup_s"],
+        "miou_sweep": rec.get("miou"),
+        "anchor_miou": sweep.get("anchor_miou"),
+        "quality_budget": sweep.get("quality_budget"),
+        "sweep_fps": rec.get("fps"),
+        "device_kind": jax.devices()[0].device_kind,
+    }
+
+
 def run_fullroute() -> dict:
     """The full-route 5000x7000 stage (invoked as a subprocess)."""
     _setup_jax()
@@ -624,6 +681,8 @@ def main(quick: bool = False) -> None:
         }
     out["fullroute"] = _stage_with_retry("--stage-fullroute", deadline)
     out["dualcam"] = _stage_with_retry("--stage-dualcam", deadline)
+    if os.path.exists(PARETO_JSON):
+        out["pareto"] = _stage_with_retry("--stage-pareto", deadline)
     print(json.dumps(out))
 
 
@@ -634,6 +693,8 @@ if __name__ == "__main__":
         print(json.dumps(run_fullroute()))
     elif "--stage-dualcam" in sys.argv:
         print(json.dumps(run_dualcam()))
+    elif "--stage-pareto" in sys.argv:
+        print(json.dumps(run_pareto()))
     elif "--stage-headline" in sys.argv:
         print(json.dumps(run_headline(False)))
     elif "--stage-quick" in sys.argv:

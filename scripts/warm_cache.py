@@ -9,7 +9,9 @@ draws.  AOT-compiles, in order:
     2. the quick-bench runner (512x768),
     3. the headline runner (1440x1920, 2000^2 dense),
     4. the full-route runner (1440x1920, 5000x7000 windowed),
-    5. the dual-camera runners (camera1 + camera6, window=8).
+    5. the dual-camera runners (camera1 + camera6, window=8),
+    6. the serving-Pareto recommended point's runner (when
+       configs/serving_pareto.json exists).
 
 Run with:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/warm_cache.py
 Prints one line per program with its compile seconds.
@@ -64,6 +66,48 @@ def main() -> None:
             camera=camera, image_hw=(1440, 1920), window=8
         )
     print(f"dualcam runners: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    # the serving-Pareto stage (bench --stage-pareto): the recommended
+    # operating point's runner (distinct program: backbone/stride/scale)
+    import json
+    import os.path as osp
+
+    if osp.exists(bench.PARETO_JSON):
+        import numpy as np
+
+        from vision_semantic_segmentation_tpu.mapping import (
+            SemanticMappingEngine,
+        )
+        from vision_semantic_segmentation_tpu.runtime.pipeline import (
+            FusedFramePipeline,
+        )
+        from vision_semantic_segmentation_tpu.runtime.serving_pareto import (
+            _point_cfg,
+        )
+        from vision_semantic_segmentation_tpu.runtime.tuning import (
+            _resolve_distortion, init_variables,
+        )
+
+        with open(bench.PARETO_JSON) as f:
+            rec = json.load(f)["recommended"]
+        point = {
+            k: rec[k] for k in
+            ("backbone", "output_stride", "image_scale", "upsample_pred")
+        }
+        t0 = time.perf_counter()
+        pc = _point_cfg(get_cfg_defaults(), point)
+        engine = SemanticMappingEngine(pc)
+        dist = _resolve_distortion(pc, engine, "camera1", (1440, 1920), "auto")
+        pipeline = FusedFramePipeline(
+            pc, init_variables(pc.VISION_SEM_SEG.SEM_SEG_NETWORK),
+            engine=engine, distortion=dist,
+        )
+        pipeline.compile_sequence_runner(
+            camera="camera1", image_hw=(1440, 1920), window=16
+        )
+        print(f"pareto runner ({point['backbone']} os{point['output_stride']} "
+              f"s{point['image_scale']}): {time.perf_counter() - t0:.1f}s",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -254,6 +254,51 @@ class TestMappedCrops:
         assert all((per_frame[f] == 2).any(axis=(1, 2)).any() for f in range(4))
 
 
+class TestBenchParetoStage:
+    def test_reports_recommended_point_with_sweep_quality(
+        self, tmp_path, monkeypatch
+    ):
+        """bench --stage-pareto re-times the recommended point live and
+        carries the sweep-measured quality fields verbatim."""
+        import json
+
+        import bench
+
+        sweep = {
+            "recommended": {
+                "backbone": "resnet50", "output_stride": 16,
+                "image_scale": 0.355, "upsample_pred": False,
+                "fps": 75.07, "miou": 0.967,
+            },
+            "anchor_miou": 0.979,
+            "quality_budget": 0.95,
+        }
+        pj = tmp_path / "serving_pareto.json"
+        pj.write_text(json.dumps(sweep))
+        monkeypatch.setattr(bench, "PARETO_JSON", str(pj))
+
+        import vision_semantic_segmentation_tpu.runtime.serving_pareto as sp
+
+        seen = {}
+
+        def fake_sweep_fps(cfg, points, **kw):
+            seen["points"] = points
+            return [dict(points[0], fps=74.0, ms_per_frame=13.5, warmup_s=2.0)]
+
+        monkeypatch.setattr(sp, "sweep_fps", fake_sweep_fps)
+        out = bench.run_pareto()
+        assert seen["points"] == [{
+            "backbone": "resnet50", "output_stride": 16,
+            "image_scale": 0.355, "upsample_pred": False,
+        }]
+        assert out["metric"] == "serving_pareto_recommended_fps_1440x1920"
+        assert out["value"] == 74.0
+        assert out["miou_sweep"] == 0.967
+        assert out["anchor_miou"] == 0.979
+        assert out["sweep_fps"] == 75.07
+        assert out["vs_baseline"] == round(74.0 / 1.2, 2)
+
+
 class TestScoreQualityOnTinyScene:
     @pytest.mark.slow
     def test_quality_row_mechanics(self, tmp_path):
