@@ -531,8 +531,10 @@ def run_pareto() -> dict:
     ``autotune --serving`` sweeps backbone x OUTPUT_STRIDE x IMAGE_SCALE
     x UPSAMPLE_PRED on this hardware: every point timed through the real
     fused runner on-device AND scored for golden-scene map mIoU with a
-    per-point trained network (runtime/serving_pareto.py).  The sweep's
-    artifact is checked in (configs/serving_pareto.json); this stage
+    per-point trained network (runtime/serving_pareto.py).  This stage
+    reads the sweep's artifact (configs/serving_pareto.json, produced by
+    scripts/run_serving_sweep.py; if absent the parent emits
+    ``"pareto": {"skipped": ...}`` instead of running this stage),
     re-times the RECOMMENDED point's fused runner live and reports it
     next to the sweep-measured quality (quality needs trained weights
     and a ~2 h sweep, so it is not re-scored per bench run).  Mirrors
@@ -683,6 +685,12 @@ def main(quick: bool = False) -> None:
     out["dualcam"] = _stage_with_retry("--stage-dualcam", deadline)
     if os.path.exists(PARETO_JSON):
         out["pareto"] = _stage_with_retry("--stage-pareto", deadline)
+    else:
+        # the artifact's absence must be self-describing, not silent
+        out["pareto"] = {
+            "skipped": "configs/serving_pareto.json absent — run "
+                       "scripts/run_serving_sweep.py (or autotune --serving)"
+        }
     print(json.dumps(out))
 
 

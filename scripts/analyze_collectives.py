@@ -36,8 +36,11 @@ from __future__ import annotations
 
 import json
 import os
+import os.path as osp
 import re
 import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 # ---------------------------------------------------------------------------
 # v5e public constants (How to Scale Your Model, jax-ml.github.io/scaling-book)
@@ -73,6 +76,13 @@ MEASURED_MS = {
     "grid-update": {"ms": 11.8, "scaling": "divide",
                     "what": "grid update; cell bands divide"},
 }
+
+SCAN_CAVEAT = (
+    "collectives inside lax.scan bodies execute once per scan step; counts "
+    "here are static HLO instruction counts with the multiplicity carried by "
+    "each program's 'unit' annotation (from program structure, not parsed "
+    "from HLO loop trip counts)"
+)
 
 DTYPE_BYTES = {
     "f64": 8, "f32": 4, "f16": 2, "bf16": 2,
@@ -391,9 +401,24 @@ def child_main(n: int):
 
     jax.config.update("jax_platforms", "cpu")
 
-    report = {"n_devices": n, "programs": {}}
+    report = {
+        "n_devices": n,
+        "caveat": SCAN_CAVEAT,
+        "programs": {},
+    }
     for name, builder in BUILDERS.items():
-        if name in ("sp-train",) and n % 2:
+        if name == "sp-train" and (n % 2 or n < 4):
+            # degenerate-mesh guard (VERDICT r04): at n=2 the
+            # ('data'=2,'spatial'=n//2) mesh collapses the spatial axis
+            # to size 1 — GSPMD emits a pure-dp program with ZERO halo
+            # bytes, so the row would silently measure the wrong thing.
+            reason = (
+                f"mesh ('data'=2,'spatial'={n / 2:g}) has no spatial axis "
+                f">= 2 at n={n}; refusing to report a zero-halo dp row as "
+                f"sp-train (needs n >= 4, even)"
+            )
+            print(f"[{name}] SKIPPED: {reason}", flush=True)
+            report["programs"][name] = {"skipped": reason}
             continue
         print(f"[{name}] building + compiling on {n}-device CPU mesh...",
               flush=True)
@@ -422,7 +447,11 @@ def child_main(n: int):
 
     # human summary
     print(f"\n=== collective traffic on a {n}-device mesh ===")
+    print(f"(caveat: {SCAN_CAVEAT})")
     for name, p in report["programs"].items():
+        if "skipped" in p:
+            print(f"\n{name}: SKIPPED — {p['skipped']}")
+            continue
         print(f"\n{name} ({p['unit']}):")
         for op, s in p["summary"].items():
             print(f"  {op:20s} x{s['count']:<3d} {s['bytes'] / 1e6:10.3f} MB")

@@ -84,15 +84,30 @@ def golden_bag(tmp_path_factory):
     from vision_semantic_segmentation_tpu.ops.resize import resize_area
 
     train_idx = list(range(0, len(poses), max(1, len(poses) // 8)))[:8]
-    small_imgs = [
-        np.asarray(resize_area(jnp.asarray(images[i]), (144, 192))).astype(
-            np.float32
+
+    def _small(idx):
+        return (
+            [
+                np.asarray(
+                    resize_area(jnp.asarray(images[i]), (144, 192))
+                ).astype(np.float32)
+                for i in idx
+            ],
+            [net_labels[i][4::10, 4::10] for i in idx],
         )
-        for i in train_idx
-    ]
-    small_labels = [net_labels[i][4::10, 4::10] for i in train_idx]
+
+    small_imgs, small_labels = _small(train_idx)
+    # held-out VIEWS arm the trainer's generalization gate (train-batch
+    # metrics alone can lie — r04 scale-1.0 collapse finding); same
+    # offset recipe as the serving sweep's SceneArtifacts
+    stride = max(1, len(poses) // 8)
+    val_idx = [min(i + max(1, stride // 2), len(poses) - 1) for i in train_idx]
+    val_imgs, val_labels = _small(val_idx)
     weight_path = str(root / "segmenter.npz")
-    acc = train_segmenter(small_imgs, small_labels, weight_path, max_steps=200)
+    acc = train_segmenter(
+        small_imgs, small_labels, weight_path, max_steps=300,
+        val_frames=val_imgs, val_labels=val_labels,
+    )
 
     bag_path = str(root / "bag.npz")
     frames = [

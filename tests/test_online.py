@@ -202,6 +202,63 @@ class TestRunOnline:
         assert report.max_lag_s < 0.1, "playback timeline must not stall"
 
 
+class TestStreamTimedPlayback:
+    def test_matches_bag_timed_content(self, rng, tmp_path):
+        """play_stream_timed (worker-thread decode) publishes the same
+        synced pcd/pose/image per frame as the inline player delivers to
+        the nodes — only the decode placement differs."""
+        from vision_semantic_segmentation_tpu.runtime.async_bus import (
+            play_stream_timed,
+        )
+
+        path = tmp_path / "st.bag"
+        _make_bag(path, rng, n_frames=4)
+
+        def record(bus):
+            got = {"img": [], "pose": [], "pcd": []}
+            bus.subscribe(
+                "/camera1/image_raw",
+                lambda m: got["img"].append((m.stamp, m.frame_id, np.asarray(m.data))),
+            )
+            bus.subscribe("/current_pose", lambda m: got["pose"].append(m.data))
+            bus.subscribe("/reduced_map", lambda m: got["pcd"].append(np.asarray(m.data)))
+            return got
+
+        bus_a, bus_b = TopicBus(), TopicBus()
+        got_a, got_b = record(bus_a), record(bus_b)
+        r_inline = play_bag_timed(str(path), bus_a, rate=100.0)
+        r_stream = play_stream_timed(str(path), bus_b, rate=100.0)
+
+        assert r_stream.published == 12  # 4 x (pcd + pose + img); no /tf
+        assert r_stream.bag_duration_s == pytest.approx(3.0)
+        assert len(got_b["img"]) == len(got_a["img"]) == 4
+        for (sa, fa, ia), (sb, fb, ib) in zip(got_a["img"], got_b["img"]):
+            assert sa == sb and fa == fb
+            np.testing.assert_array_equal(ia, ib)
+        for pa, pb in zip(got_a["pose"], got_b["pose"]):
+            np.testing.assert_array_equal(pa[0], pb[0])
+            np.testing.assert_array_equal(pa[1], pb[1])
+        for ca, cb in zip(got_a["pcd"], got_b["pcd"]):
+            np.testing.assert_array_equal(ca, cb)
+
+    def test_run_online_decode_ahead(self, rng, tmp_path):
+        """run_online(decode_ahead=True): same topology, same accounting,
+        decode on the worker — every frame reaches the nodes."""
+        cfg, predictor = TestRunOnline()._cfg_and_predictor(tmp_path)
+        path = tmp_path / "da.bag"
+        _make_bag(path, rng, n_frames=4)
+        report = run_online(
+            cfg, str(path), rate=50.0, predictor=predictor,
+            finalize=False, decode_ahead=True,
+        )
+        assert report.published == 12
+        seg_in = report.processed.get("seg:/camera1/image_raw", 0) + \
+            report.drops.get("seg:/camera1/image_raw", 0)
+        assert seg_in == 4
+        assert report.processed.get("map:/current_pose", 0) == 4
+        assert report.max_lag_s < 0.5
+
+
 class TestStreamBagFrames:
     def test_matches_two_pass_sync(self, rng, tmp_path):
         from vision_semantic_segmentation_tpu.runtime.bag_adapter import (
@@ -464,6 +521,18 @@ class TestRunOnlineFused:
             "--rate", "30", "--fused",
         ])
         assert report.published == 10
+        assert report.processed.get("fused:/current_pose", 0) == 3
+        done = report.processed.get("fused:/camera1/image_raw", 0)
+        dropped = report.drops.get("fused:/camera1/image_raw", 0)
+        assert done + dropped == 3
+
+        # --decode-ahead: worker-thread decode feed, same topology and
+        # accounting (3 topics x 3 synced frames, no /tf republish)
+        report = main([
+            "pipeline", "--cfg", cfg_path, "--bag", str(bag),
+            "--rate", "30", "--fused", "--decode-ahead",
+        ])
+        assert report.published == 9
         assert report.processed.get("fused:/current_pose", 0) == 3
         done = report.processed.get("fused:/camera1/image_raw", 0)
         dropped = report.drops.get("fused:/camera1/image_raw", 0)

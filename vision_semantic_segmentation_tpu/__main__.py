@@ -82,7 +82,10 @@ def cmd_pipeline(args):
             )
         from .runtime.async_bus import run_online
 
-        report = run_online(cfg, args.bag, rate=float(args.rate), fused=fused)
+        report = run_online(
+            cfg, args.bag, rate=float(args.rate), fused=fused,
+            decode_ahead=getattr(args, "decode_ahead", False),
+        )
         print(
             f"online replay @ {report.rate}x: {report.published} msgs in "
             f"{report.wall_duration_s:.1f}s (bag {report.bag_duration_s:.1f}s), "
@@ -530,6 +533,12 @@ def main(argv=None):
         "--confidence", action="store_true",
         help="with --fused: weight each point's Bayesian evidence by the "
         "network's softmax confidence at its pixel",
+    )
+    p.add_argument(
+        "--decode-ahead", action="store_true", dest="decode_ahead",
+        help="with --rate: decode the bag (JPEG, PointCloud2) on a worker "
+        "thread overlapping node compute instead of on the pacing thread "
+        "(the production feed for compressed bags on a small host)",
     )
     p.set_defaults(fn=cmd_pipeline)
 

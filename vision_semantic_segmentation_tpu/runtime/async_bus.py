@@ -232,6 +232,76 @@ def play_bag_timed(
     return report
 
 
+def play_stream_timed(
+    bag_path: str,
+    bus: TopicBus,
+    rate: float = 1.0,
+    image_topic: str = "/camera1/image_raw",
+    pcd_topic: str = "/reduced_map",
+    pose_topic: str = "/current_pose",
+    lookahead_s: float = 0.5,
+    max_buffered: int = 16,
+) -> PlaybackReport:
+    """Timed playback with DECODE AHEAD: the streamed twin of
+    :func:`play_bag_timed`.
+
+    :func:`play_bag_timed` deserializes every record (JPEG decode,
+    PointCloud2 unpack) on the pacing thread itself — on a one-core host
+    a slow decode eats the timeline budget and surfaces as ``max_lag_s``.
+    This player instead consumes :func:`~.bag_adapter.stream_bag_frames`:
+    bag read + decode + nearest-stamp sync run on a worker thread into a
+    bounded queue, and the pacing thread only publishes pre-decoded
+    arrays (pcd, pose, image per synced frame) at the bag timeline —
+    decode of frame i+1..i+``max_buffered`` overlaps the downstream
+    node's device compute on frame i.  If decode cannot sustain the
+    timeline the queue runs dry and the lateness still shows in
+    ``max_lag_s`` — the accounting is the same, only the overlap differs.
+
+    Trade-off vs :func:`play_bag_timed`: frames are published
+    POST-sync (an image that never acquires a cloud+pose within
+    ``lookahead_s`` is not published at all), and only the three mapped
+    topics flow — /tf and other topics are not surfaced.
+    """
+    from .bag_adapter import stream_bag_frames
+
+    assert rate > 0, "rate must be positive"
+    report = PlaybackReport(rate=rate)
+    wall0 = None
+    stamp0 = None
+    last = None
+    for f in stream_bag_frames(
+        bag_path, image_topic=image_topic, pcd_topic=pcd_topic,
+        pose_topic=pose_topic, lookahead_s=lookahead_s,
+        max_buffered=max_buffered,
+    ):
+        now = time.monotonic()
+        if wall0 is None:
+            wall0, stamp0 = now, f.stamp
+        due = wall0 + (f.stamp - stamp0) / rate
+        if due > now:
+            time.sleep(due - now)
+        else:
+            report.max_lag_s = max(report.max_lag_s, now - due)
+        bus.publish(pcd_topic, f.pcd, stamp=f.stamp, frame_id=f.pcd_frame_id)
+        bus.publish(pose_topic, (f.position, f.quaternion), stamp=f.stamp)
+        bus.publish(
+            image_topic, f.semantic_image, stamp=f.stamp,
+            frame_id=f.camera or _camera_of(image_topic),
+        )
+        report.published += 3
+        last = f.stamp
+    report.bag_duration_s = (last - stamp0) if stamp0 is not None else 0.0
+    report.wall_duration_s = (
+        (time.monotonic() - wall0) if wall0 is not None else 0.0
+    )
+    return report
+
+
+def _camera_of(topic: str) -> str:
+    part = topic.lstrip("/").split("/", 1)[0]
+    return part or "camera1"
+
+
 def run_online(
     cfg,
     bag_path: str,
@@ -241,6 +311,7 @@ def run_online(
     finalize: bool = True,
     fused: bool = False,
     pipeline=None,
+    decode_ahead: bool = False,
 ) -> PlaybackReport:
     """Drive a bag through the online node topology at a wall-clock rate.
 
@@ -261,6 +332,12 @@ def run_online(
     SemanticSegmentation / SemanticMappingEngine / FusedFramePipeline
     instances (tests use light doubles; ``pipeline`` only applies to the
     fused topology, ``predictor`` only to the two-node one).
+
+    ``decode_ahead=True`` swaps :func:`play_bag_timed` for
+    :func:`play_stream_timed`: bag decode (JPEG, PointCloud2) runs on a
+    worker thread overlapping the nodes' device compute instead of on
+    the pacing thread — the production feed discipline for compressed
+    bags on a small host (scripts/probe_online_stream.py measures both).
     """
     from ..mapping.engine import SemanticMappingEngine
     from ..utils.ros_compat import TransformTree
@@ -289,7 +366,10 @@ def run_online(
         # (the device forward of frame i+1 overlaps the fusion of frame i)
         execs = [("seg", seg_exec), ("map", map_exec)]
 
-    report = play_bag_timed(bag_path, bus, rate=rate)
+    if decode_ahead:
+        report = play_stream_timed(bag_path, bus, rate=rate)
+    else:
+        report = play_bag_timed(bag_path, bus, rate=rate)
     for _, ex in execs:
         ex.join()     # mapping drains frames published upstream while joining
     for _, ex in execs:
