@@ -17,6 +17,14 @@ import jax  # noqa: E402
 # The axon TPU plugin prepends itself to JAX_PLATFORMS; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: programs with identical HLO (e.g. the fused
+# runner compiled twice by two pipeline instances, or re-runs of the
+# suite) compile once.  Keyed on HLO + flags, so safe across edits.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("VSST_TEST_COMPILE_CACHE", "/tmp/vss_cpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -312,26 +312,30 @@ class TestScoreQualityOnTinyScene:
             score_quality,
         )
 
-        scene = SceneArtifacts(str(tmp_path / "scene"), pose_stride=5)
+        scene = SceneArtifacts(str(tmp_path / "scene"), pose_stride=9)
         point = {
             "backbone": "resnet18", "output_stride": 16,
             "image_scale": 0.1, "upsample_pred": True,
         }
+        # mechanics budget (VERDICT r04 #4: this test once burned 511 s):
+        # 10 poses, 40 half-batch steps, no overfit floor — road is learned in ~30
+        # steps; the strict gate lives in test_e2e_golden on the full
+        # lattice at production steps
         row = score_quality(
-            scene, point, train_steps=150, compute_dtype=jnp.float32,
-            map_window=6,
+            scene, point, train_steps=40, train_batch=4,
+            compute_dtype=jnp.float32, map_window=5, train_floor=None,
         )
         assert 0.0 <= row["miou"] <= 1.0
         assert set(row["iou"]) == {"road", "crosswalk", "lane"}
-        # 18 poses still see the road head-on repeatedly: the dominant
+        # 10 poses still see the road head-on repeatedly: the dominant
         # class must be mapped correctly where covered
         assert row["iou"]["road"] >= 0.3, row
         assert row["train_s"] > 0
         # weights are cached per (backbone, stride, scale): rescoring must
         # not retrain
         row2 = score_quality(
-            scene, point, train_steps=150, compute_dtype=jnp.float32,
-            map_window=6,
+            scene, point, train_steps=40, train_batch=4,
+            compute_dtype=jnp.float32, map_window=5, train_floor=None,
         )
         assert row2["train_s"] < row["train_s"] / 2
         assert row2["miou"] == row["miou"]

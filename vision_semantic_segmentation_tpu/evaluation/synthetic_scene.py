@@ -465,29 +465,37 @@ def train_segmenter(
                 ok = False
         return ok, stats
 
-    acc, recalls = 0.0, {}
+    acc, recalls, precisions = 0.0, {}, {}
     val_ok, next_val = eval_step is None, 0
     for it in range(max_steps):
         state, metrics = step(state, batches[it % len(batches)])
         conf = np.asarray(metrics["confusion"])
         acc = float(np.trace(conf) / max(conf.sum(), 1.0))
-        recalls = {
-            c: float(conf[c, c] / max(conf[c].sum(), 1.0)) for c in mapped_classes
-        }
+        # a class ABSENT from this batch (balanced crops don't guarantee
+        # every class every batch) must not read as recall 0.0 — that
+        # spuriously failed the overfit floor on a final batch without
+        # crosswalk pixels (r05 sweep finding); carry the last batch
+        # that actually contained the class
+        for c in mapped_classes:
+            support = float(conf[c].sum())
+            if support > 0:
+                recalls[c] = float(conf[c, c] / support)
         # gate on precision too: a recall-only stop passes a net that
         # over-predicts the mapped classes outside their true extent,
         # which collapses map IoU via false positives (r04 finding)
-        precisions = {
-            c: float(conf[c, c] / max(conf[:, c].sum(), 1.0))
-            for c in mapped_classes
-        }
+        for c in mapped_classes:
+            predicted = float(conf[:, c].sum())
+            if predicted > 0:
+                precisions[c] = float(conf[c, c] / predicted)
         if log and (it + 1) % 50 == 0:
             log(
                 f"  train step {it + 1}: acc={acc:.3f} recalls={recalls} "
                 f"precisions={precisions}"
             )
         train_gate = (
-            min(recalls.values()) >= target_recall
+            len(recalls) == len(mapped_classes)
+            and len(precisions) == len(mapped_classes)
+            and min(recalls.values()) >= target_recall
             and min(precisions.values()) >= target_recall
             and it >= min_steps - 1
         )
@@ -508,7 +516,8 @@ def train_segmenter(
         )
     if quality_floor is not None:
         acc_floor, recall_floor = quality_floor
-        assert acc >= acc_floor and min(recalls.values()) >= recall_floor, (
+        floor_recalls = [recalls.get(c, 0.0) for c in mapped_classes]
+        assert acc >= acc_floor and min(floor_recalls) >= recall_floor, (
             f"segmenter failed to overfit the scene: acc={acc:.3f} {recalls}"
         )
     save_npz({"params": state.params, "batch_stats": state.batch_stats}, weight_path)

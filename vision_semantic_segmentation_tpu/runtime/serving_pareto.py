@@ -243,6 +243,7 @@ def score_quality(
     train_batch: Optional[int] = None,
     compute_dtype=None,
     map_window: int = 10,
+    train_floor="default",
     log=None,
 ) -> Dict:
     """Golden-map quality at one operating point.
@@ -253,6 +254,11 @@ def score_quality(
     scores with MapEvaluator.  The forward runs at the production compute
     dtype (bf16 by default) — quality is scored on the exact program the
     fps sweep times.
+
+    ``train_floor`` forwards to :func:`train_segmenter`'s
+    ``quality_floor`` ("default" keeps the production (0.97, 0.85)
+    overfit assertion; tests pass ``None`` with reduced ``train_steps``
+    to bound CPU cost while exercising the full path).
     """
     import jax.numpy as jnp
 
@@ -297,6 +303,7 @@ def score_quality(
 
         train_imgs, train_labels = _prep(scene.train_idx)
         val_imgs, val_labels = _prep(scene.val_idx)
+        kw = {} if train_floor == "default" else {"quality_floor": train_floor}
         train_segmenter(
             train_imgs,
             train_labels,
@@ -308,6 +315,7 @@ def score_quality(
             val_frames=val_imgs,
             val_labels=val_labels,
             log=log,
+            **kw,
         )
     train_s = time.perf_counter() - t0
 
