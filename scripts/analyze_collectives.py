@@ -204,6 +204,23 @@ def expected_scaling(name: str, rows, n: int):
     }
 
 
+def degenerate_mesh_guard(name: str, n: int):
+    """Skip reason when a program's mesh would collapse an axis to 1.
+
+    Degenerate-mesh guard (VERDICT r04): at n=2 sp-train's
+    ('data'=2,'spatial'=n//2) mesh collapses the spatial axis to size 1 —
+    GSPMD emits a pure-dp program with ZERO halo bytes, so the row would
+    silently measure the wrong thing.  Returns None when OK.
+    """
+    if name == "sp-train" and (n % 2 or n < 4):
+        return (
+            f"mesh ('data'=2,'spatial'={n / 2:g}) has no spatial axis "
+            f">= 2 at n={n}; refusing to report a zero-halo dp row as "
+            f"sp-train (needs n >= 4, even)"
+        )
+    return None
+
+
 def summarize(rows):
     by_op = {}
     for r in rows:
@@ -407,16 +424,8 @@ def child_main(n: int):
         "programs": {},
     }
     for name, builder in BUILDERS.items():
-        if name == "sp-train" and (n % 2 or n < 4):
-            # degenerate-mesh guard (VERDICT r04): at n=2 the
-            # ('data'=2,'spatial'=n//2) mesh collapses the spatial axis
-            # to size 1 — GSPMD emits a pure-dp program with ZERO halo
-            # bytes, so the row would silently measure the wrong thing.
-            reason = (
-                f"mesh ('data'=2,'spatial'={n / 2:g}) has no spatial axis "
-                f">= 2 at n={n}; refusing to report a zero-halo dp row as "
-                f"sp-train (needs n >= 4, even)"
-            )
+        reason = degenerate_mesh_guard(name, n)
+        if reason is not None:
             print(f"[{name}] SKIPPED: {reason}", flush=True)
             report["programs"][name] = {"skipped": reason}
             continue
