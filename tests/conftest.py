@@ -49,6 +49,7 @@ QUICK_TESTS = {
     "test_augment.py::TestApplyAugment::test_scale1_is_exact_crop",
     "test_cli.py::test_eval_cli",
     "test_cli.py::test_convert_cli",
+    "test_collectives_tool.py::TestDegenerateMeshGuard::test_sp_train_refused_below_four_devices",
     "test_config.py::test_defaults_match_reference_keys",
     "test_drift.py::test_probability_drift_budget",
     "test_evaluation.py::test_evaluator_end_to_end",
@@ -57,7 +58,9 @@ QUICK_TESTS = {
     "test_hickle.py::TestRoundTrip::test_containers_and_scalars",
     "test_mapping.py::TestEngineGoldenParity::test_matches_golden_numpy[True]",
     "test_models.py::TestBackboneParity::test_matches_torch_oracle[resnet18-dilation0]",
+    "test_dualcam_quality.py::TestDualCameraQuality::test_camera6_buys_map_quality",
     "test_online.py::TestNodeExecutor::test_keep_latest_drops_oldest_and_counts",
+    "test_online.py::TestStreamTimedPlayback::test_matches_bag_timed_content",
     "test_ops.py::TestResizeAlignCorners::test_matches_torch[in_hw0-out_hw0]",
     "test_pallas.py::TestFusedRender::test_matches_unfused_path[shape0]",
     "test_parallel.py::TestDataParallelTrainStep::test_sharded_matches_single_device",

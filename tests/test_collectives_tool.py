@@ -17,7 +17,6 @@ _SPEC.loader.exec_module(ac)
 
 
 class TestDegenerateMeshGuard:
-    @pytest.mark.quick
     def test_sp_train_refused_below_four_devices(self):
         """('data'=2,'spatial'=1) is a zero-halo dp program: the tool must
         refuse to report it as sp-train rather than print a wrong row."""
@@ -25,7 +24,6 @@ class TestDegenerateMeshGuard:
             reason = ac.degenerate_mesh_guard("sp-train", n)
             assert reason is not None and "refusing" in reason, (n, reason)
 
-    @pytest.mark.quick
     def test_valid_meshes_pass(self):
         for n in (4, 8, 16):
             assert ac.degenerate_mesh_guard("sp-train", n) is None
