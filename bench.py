@@ -672,7 +672,7 @@ def main(quick: bool = False) -> None:
         print(json.dumps(out))
         return
 
-    deadline = time.monotonic() + 3000.0  # total wall budget (3 boxed stages)
+    deadline = time.monotonic() + 3000.0  # total wall budget (4 boxed stages)
     out = _stage_with_retry("--stage-headline", deadline)
     if "skipped" in out:
         out = {

@@ -299,6 +299,53 @@ class TestBenchParetoStage:
         assert out["vs_baseline"] == round(74.0 / 1.2, 2)
 
 
+class TestTrainLrPassthrough:
+    def test_train_lr_reaches_the_trainer(self, tmp_path, monkeypatch):
+        """score_quality(train_lr=) forwards as train_segmenter(lr=) — the
+        rescue knob for deterministic training collapses (a plain retry of
+        a failed sweep point reproduces the identical trajectory; r05
+        rescued resnet50/os16/0.5 with lr 1.5e-3 where 3e-3 stuck at lane
+        recall 0.29).  A fake trainer records kwargs and aborts before any
+        compute."""
+        from types import SimpleNamespace
+
+        import vision_semantic_segmentation_tpu.evaluation.synthetic_scene as ss
+        from vision_semantic_segmentation_tpu.runtime import serving_pareto as sp
+
+        seen = {}
+
+        class Stop(Exception):
+            pass
+
+        def fake_train(frames, labels, weight_path, **kw):
+            seen.update(kw)
+            raise Stop
+
+        monkeypatch.setattr(ss, "train_segmenter", fake_train)
+        scene = SimpleNamespace(
+            root=str(tmp_path),
+            images=[np.zeros((8, 8, 3), np.uint8)] * 2,
+            net_labels=[np.zeros((8, 8), np.uint8)] * 2,
+            train_idx=[0],
+            val_idx=[1],
+        )
+        point = {"backbone": "resnet18", "output_stride": 16,
+                 "image_scale": 1.0, "upsample_pred": False}
+        with pytest.raises(Stop):
+            sp.score_quality(scene, point, train_steps=7,
+                             train_lr=1.5e-3, train_floor=None)
+        assert seen["lr"] == 1.5e-3
+        assert seen["max_steps"] == 7
+        assert seen["quality_floor"] is None
+
+        seen.clear()
+        with pytest.raises(Stop):
+            sp.score_quality(scene, point, train_steps=7)
+        # defaults: the trainer's own lr and production floor stay in charge
+        assert "lr" not in seen
+        assert "quality_floor" not in seen
+
+
 class TestScoreQualityOnTinyScene:
     @pytest.mark.slow
     def test_quality_row_mechanics(self, tmp_path):

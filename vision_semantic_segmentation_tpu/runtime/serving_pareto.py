@@ -244,6 +244,7 @@ def score_quality(
     compute_dtype=None,
     map_window: int = 10,
     train_floor="default",
+    train_lr: Optional[float] = None,
     log=None,
 ) -> Dict:
     """Golden-map quality at one operating point.
@@ -304,6 +305,8 @@ def score_quality(
         train_imgs, train_labels = _prep(scene.train_idx)
         val_imgs, val_labels = _prep(scene.val_idx)
         kw = {} if train_floor == "default" else {"quality_floor": train_floor}
+        if train_lr is not None:
+            kw["lr"] = float(train_lr)
         train_segmenter(
             train_imgs,
             train_labels,
