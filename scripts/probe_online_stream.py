@@ -23,8 +23,15 @@ the dev tunnel the 8.3 MB frame upload (~1-20 MB/s link) — not decode,
 not compute — is expected to bind; the JSON says which it was.
 
 Usage: probe_online_stream.py [--hz HZ] [--horizon S] [--quality Q]
-                              [--rate R]
-Prints one JSON line.
+                              [--rate R] [--bag PATH [--build-bag]]
+Prints one JSON line.  Two-step use on the tunnel (the scene render is
+eager jnp; per-op dispatch RTTs make the in-process build pathologically
+slow on the TPU backend): build the bag CPU-side first, then probe —
+
+    JAX_PLATFORMS=cpu python scripts/probe_online_stream.py \
+        --bag /tmp/stream_probe.bag --build-bag
+    PYTHONPATH=/root/repo:/root/.axon_site python \
+        scripts/probe_online_stream.py --bag /tmp/stream_probe.bag
 """
 from __future__ import annotations
 
@@ -138,6 +145,7 @@ def main() -> None:
     horizon_s = arg("--horizon", 8.0)
     quality = arg("--quality", 90, int)
     rate = arg("--rate", 1.0)
+    bag_arg = arg("--bag", None, str)
 
     import cv2
     import jax
@@ -156,11 +164,38 @@ def main() -> None:
     )
     from vision_semantic_segmentation_tpu.runtime.tuning import init_variables
 
-    tmp = tempfile.mkdtemp(prefix="stream_probe_")
-    bag_path = osp.join(tmp, "stream.bag")
-    print(f"writing compressed bag ({hz:g} Hz x {horizon_s:g}s)...",
-          flush=True)
-    jpegs, n_images = build_bag(bag_path, hz, horizon_s, quality)
+    if bag_arg and osp.exists(bag_arg):
+        # Reuse a prebuilt bag.  Build it in a CPU-only process first
+        # (JAX_PLATFORMS=cpu probe_online_stream.py --bag P --build-bag):
+        # the scene render is eager jnp, and through the TPU tunnel every
+        # op pays a dispatch round trip — the in-process build measured
+        # 17+ min of mostly idle wall where the CPU build takes ~1 min.
+        from vision_semantic_segmentation_tpu.runtime.rosbag import (
+            RosbagReader,
+        )
+
+        bag_path = bag_arg
+        payloads = [
+            m.message.data
+            for m in RosbagReader(bag_path).read_messages(
+                topics=["/avt_cameras/camera1/image_color/compressed"]
+            )
+        ]
+        n_images = len(payloads)
+        jpegs = list(dict.fromkeys(payloads))  # distinct, in order
+        print(f"reusing prebuilt bag {bag_path} ({n_images} images, "
+              f"{len(jpegs)} distinct)", flush=True)
+    else:
+        bag_path = bag_arg or osp.join(
+            tempfile.mkdtemp(prefix="stream_probe_"), "stream.bag"
+        )
+        print(f"writing compressed bag ({hz:g} Hz x {horizon_s:g}s)...",
+              flush=True)
+        jpegs, n_images = build_bag(bag_path, hz, horizon_s, quality)
+        if "--build-bag" in argv:
+            print(f"bag built at {bag_path}; exiting (--build-bag)",
+                  flush=True)
+            return
     bag_mb = osp.getsize(bag_path) / 1e6
 
     # -- 1. decode-only throughput on this host ----------------------------
@@ -195,8 +230,17 @@ def main() -> None:
         pose as scene_pose,
     )
 
-    pcd0 = make_point_map()
-    valid0 = np.ones(pcd0.shape[1], bool)
+    # the node pads/clips the cloud to MAPPING.POINT_BUCKET (static jit
+    # shapes — mapping/engine.py pad_points); warming with the UNPADDED
+    # cloud warms a DIFFERENT program, and the node's own program then
+    # compiles inside the first timed run (first version of this probe:
+    # inline run mapped 2/96 while it paid node-program compile + the
+    # slow first dispatches; the next run inherited them warm)
+    from vision_semantic_segmentation_tpu.mapping.engine import pad_points
+
+    pcd0, valid0 = pad_points(
+        make_point_map().astype(np.float32), engine.point_bucket
+    )
     p0, q0 = scene_pose(120, 820, 0.0)
     print("compiling + warming the fused program...", flush=True)
     t0 = time.perf_counter()
@@ -204,14 +248,16 @@ def main() -> None:
     grid, _ = pipeline.step(
         grid, img0, pcd0, valid0, p0, q0, camera="camera1"
     )
-    jax.block_until_ready(grid)
+    # block_until_ready does NOT force completion through the tunnel
+    # (CLAUDE.md) — a small host readback is the only real barrier
+    float(jnp.sum(grid[:, :2, :2]))
     warmup_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(12):
         grid, _ = pipeline.step(
             grid, img0, pcd0, valid0, p0, q0, camera="camera1"
         )
-    jax.block_until_ready(grid)
+    float(jnp.sum(grid[:, :2, :2]))
     step_ms = (time.perf_counter() - t0) / 12 * 1e3
     max_hz_transport = 1e3 / step_ms
     print(f"fused step incl. frame upload through the tunnel: "
