@@ -635,15 +635,21 @@ def _stage_subprocess(flag: str, timeout_s: float) -> dict:
     }
 
 
-def _stage_with_retry(flag: str, deadline: float) -> dict:
-    """Attempt a stage up to twice within the remaining wall budget."""
+def _stage_with_retry(flag: str, deadline: float, box_s: float = None) -> dict:
+    """Attempt a stage up to twice within the remaining wall budget.
+
+    ``box_s`` overrides the per-attempt box (default FULLROUTE_TIMEOUT_S);
+    the LAST stage can afford a bigger box since nothing queues behind it
+    (r05: a 508 s compile-service warm-up draw left the pareto stage ~90 s
+    of its 600 s box — it passed, but without margin).
+    """
     result = {}
     for attempt in range(2):
         remaining = deadline - time.monotonic()
         if remaining < 120.0:
             result.setdefault("skipped", "wall budget exhausted")
             return result
-        result = _stage_subprocess(flag, min(FULLROUTE_TIMEOUT_S, remaining))
+        result = _stage_subprocess(flag, min(box_s or FULLROUTE_TIMEOUT_S, remaining))
         if "skipped" not in result:
             return result
         _progress(f"{flag} attempt {attempt + 1} failed: {result.get('skipped')}")
@@ -684,7 +690,7 @@ def main(quick: bool = False) -> None:
     out["fullroute"] = _stage_with_retry("--stage-fullroute", deadline)
     out["dualcam"] = _stage_with_retry("--stage-dualcam", deadline)
     if os.path.exists(PARETO_JSON):
-        out["pareto"] = _stage_with_retry("--stage-pareto", deadline)
+        out["pareto"] = _stage_with_retry("--stage-pareto", deadline, box_s=900.0)
     else:
         # the artifact's absence must be self-describing, not silent
         out["pareto"] = {

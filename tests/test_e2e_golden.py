@@ -20,6 +20,7 @@ builds the next-best thing from first principles:
    grid update, box filter, rendering) compared cell-for-cell against the
    device map.
 """
+import os
 import os.path as osp
 
 import jax
@@ -104,10 +105,34 @@ def golden_bag(tmp_path_factory):
     val_idx = [min(i + max(1, stride // 2), len(poses) - 1) for i in train_idx]
     val_imgs, val_labels = _small(val_idx)
     weight_path = str(root / "segmenter.npz")
-    acc = train_segmenter(
-        small_imgs, small_labels, weight_path, max_steps=300,
-        val_frames=val_imgs, val_labels=val_labels,
-    )
+
+    # Content-keyed disk cache of the trained weights: the 300 gate-checked
+    # steps are ~15 min of the suite's 45 (r05 durations: this fixture's
+    # setup was 1080 s).  The trainer is bit-deterministic, so identical
+    # inputs + recipe give identical weights — and a WRONG cache hit cannot
+    # silently pass: every downstream test gates map IoU on these weights.
+    # Disable with VSS_TEST_WEIGHT_CACHE=0 (or point it elsewhere).
+    import hashlib
+    import shutil
+
+    cache_dir = os.environ.get("VSS_TEST_WEIGHT_CACHE", "/tmp/vss_test_weights")
+    cached = None
+    if cache_dir != "0":
+        h = hashlib.sha256(b"golden|resnet18|os16|steps300|recipe-r05")
+        for a in (*small_imgs, *small_labels, *val_imgs, *val_labels):
+            h.update(np.ascontiguousarray(a).tobytes())
+        cached = osp.join(cache_dir, f"golden_{h.hexdigest()[:20]}.npz")
+    if cached and osp.exists(cached):
+        shutil.copyfile(cached, weight_path)
+        acc = None  # cache hit: no fresh training pass to report
+    else:
+        acc = train_segmenter(
+            small_imgs, small_labels, weight_path, max_steps=300,
+            val_frames=val_imgs, val_labels=val_labels,
+        )
+        if cached:
+            os.makedirs(cache_dir, exist_ok=True)
+            shutil.copyfile(weight_path, cached)
 
     bag_path = str(root / "bag.npz")
     frames = [
