@@ -17,6 +17,14 @@ skip finished trainings too.  When every point has both an fps and a
 quality row, the driver joins them with ``pareto()`` and writes
 ``configs/serving_pareto.json`` + the recommended-point overlay
 ``configs/serving_recommended.yaml``.
+
+Rescue flow: the trainer is bit-deterministic, so a point that failed
+the overfit floor fails identically on a plain retry (r05: resnet50/
+os16/0.5 stuck at lane recall 0.29 under the default lr 3e-3).  Re-run
+the driver with a different recipe — it retrains ONLY the still-missing
+points (finished rows resume from the JSONL):
+
+    ... run_serving_sweep.py --train-lr 1.5e-3 --train-steps 600
 """
 from __future__ import annotations
 
@@ -63,6 +71,9 @@ def main():
     ap.add_argument("--out", default=osp.join(REPO, "configs", "serving_recommended.yaml"))
     ap.add_argument("--budget", type=float, default=0.95)
     ap.add_argument("--train-steps", type=int, default=400)
+    ap.add_argument("--train-lr", type=float, default=None,
+                    help="override the trainer's lr for points that still "
+                         "need a quality row (rescue knob — see docstring)")
     ap.add_argument("--fps-only", action="store_true")
     args = ap.parse_args()
 
@@ -107,7 +118,11 @@ def main():
         try:
             row = score_quality(scene, point, cfg=cfg,
                                 train_steps=args.train_steps,
+                                train_lr=args.train_lr,
                                 log=lambda m: print(m, flush=True))
+            if args.train_lr is not None:
+                row["rescue"] = {"train_lr": args.train_lr,
+                                 "train_steps": args.train_steps}
         except Exception as exc:  # one OOM point must not kill the sweep
             print(f"quality point {point} failed: {exc!r} (skipping)",
                   flush=True)
