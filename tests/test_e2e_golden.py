@@ -409,6 +409,143 @@ class TestGoldenPipeline:
         precision = float(np.mean((truth == generated)[mapped]))
         assert precision > 0.80, precision
 
+    def test_degraded_frames_pipeline_iou(self, golden_bag):
+        """Sensor-realism robustness gate: Gaussian sensor noise + JPEG
+        round-trip on every camera frame (the reference's real input is a
+        compressed_image topic, ref launch/play_rosbag.launch — its frames
+        carry exactly these artifacts), then the full two-node pipeline.
+
+        The point being demonstrated is the MAPPING property: multi-view
+        Bayesian evidence fusion absorbs per-frame segmentation noise
+        (same property the serving Pareto exploits), so the map floors sit
+        close to the clean-bag gates of test_cli_pipeline_iou even though
+        individual degraded frames mis-segment."""
+        import glob
+
+        import cv2
+
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.evaluation.map_eval import MapEvaluator
+
+        rng = np.random.default_rng(7)
+        degraded = []
+        for f in golden_bag["frames"]:
+            img = f.semantic_image.astype(np.float32)
+            img = img + rng.normal(0.0, 8.0, img.shape)  # sensor noise, sigma 8/255
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            ok, buf = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 50])
+            assert ok
+            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)  # channel-order round-trip
+            degraded.append(
+                FrameRecord(
+                    pcd=f.pcd, pcd_frame_id=f.pcd_frame_id, semantic_image=img,
+                    position=f.position, quaternion=f.quaternion,
+                    camera=f.camera, stamp=f.stamp,
+                )
+            )
+        bag_path = str(golden_bag["root"] / "bag_degraded.npz")
+        save_frames(degraded, bag_path)
+
+        cfg = golden_bag["cfg"].clone()
+        cfg.TASK_NAME = "golden_degraded"
+        cfg.OUTPUT_DIR = str(golden_bag["root"] / "out_degraded")
+        cfg_path = str(golden_bag["root"] / "golden_degraded.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.dump())
+
+        main(["pipeline", "--cfg", cfg_path, "--bag", bag_path])
+        candidates = sorted(
+            glob.glob(
+                osp.join(cfg.OUTPUT_DIR, "**", "global_map.png"), recursive=True
+            )
+        )
+        assert candidates, "degraded pipeline wrote no global_map.png"
+        result = MapEvaluator(ground_truth_dir=golden_bag["gt_dir"]).test_single_map(
+            cv2.imread(candidates[-1])
+        )
+        print("degraded-frames map:", result)
+        # Measured on the fixture weights (2026-08-20): road 0.9415,
+        # crosswalk 0.9574, lane 0.8822, miou 0.9271, missing 8e-5 —
+        # every class WITHIN NOISE of the clean bag's measured values
+        # (road 0.938/crosswalk 0.955/lane 0.881) despite sigma-8 noise
+        # + Q50 JPEG on all 90 frames: the area-resize to 144x192
+        # averages ~100 camera px per network px (cutting pixel noise
+        # ~10x) and the 90-view Bayesian fusion absorbs what remains.
+        # Floors = clean-bag gates minus a small degradation allowance.
+        assert result["iou"]["road"] >= 0.87, result
+        assert result["iou"]["crosswalk"] >= 0.90, result
+        assert result["iou"]["lane"] >= 0.79, result
+        assert result["miou"] >= 0.86, result
+        assert result["missing_rate"] <= 0.02, result
+
+    def test_pose_jitter_pipeline_iou(self, golden_bag):
+        """Localization-noise robustness gate: zero-mean jitter on every
+        frame's pose (2 cm std on x/y, 0.3 deg std on yaw — typical
+        well-tuned NDT/GNSS localization error; the reference consumes
+        /current_pose from exactly such a localizer, ref mapping.py
+        pose subscriber) through the full two-node pipeline.
+
+        Pose error, unlike pixel noise, moves EVIDENCE between nearby
+        cells, so thin structures pay first — but at 2 cm / 0.3 deg the
+        displacement is well under the 0.2 m cell size and the measured
+        cost is small even on the 4-cell lane stripes (~0.013 IoU)."""
+        import glob
+
+        import cv2
+
+        from vision_semantic_segmentation_tpu.__main__ import main
+        from vision_semantic_segmentation_tpu.evaluation.map_eval import MapEvaluator
+
+        rng = np.random.default_rng(11)
+        jittered = []
+        for f in golden_bag["frames"]:
+            dx, dy = rng.normal(0.0, 0.02, 2)
+            dyaw = rng.normal(0.0, np.deg2rad(0.3))
+            qz, qw = f.quaternion[2], f.quaternion[3]
+            yaw = 2.0 * np.arctan2(qz, qw) + dyaw
+            jittered.append(
+                FrameRecord(
+                    pcd=f.pcd, pcd_frame_id=f.pcd_frame_id,
+                    semantic_image=f.semantic_image,
+                    position=f.position + np.array([dx, dy, 0.0]),
+                    quaternion=np.array(
+                        [0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)]
+                    ),
+                    camera=f.camera, stamp=f.stamp,
+                )
+            )
+        bag_path = str(golden_bag["root"] / "bag_jitter.npz")
+        save_frames(jittered, bag_path)
+
+        cfg = golden_bag["cfg"].clone()
+        cfg.TASK_NAME = "golden_jitter"
+        cfg.OUTPUT_DIR = str(golden_bag["root"] / "out_jitter")
+        cfg_path = str(golden_bag["root"] / "golden_jitter.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.dump())
+
+        main(["pipeline", "--cfg", cfg_path, "--bag", bag_path])
+        candidates = sorted(
+            glob.glob(
+                osp.join(cfg.OUTPUT_DIR, "**", "global_map.png"), recursive=True
+            )
+        )
+        assert candidates, "jittered pipeline wrote no global_map.png"
+        result = MapEvaluator(ground_truth_dir=golden_bag["gt_dir"]).test_single_map(
+            cv2.imread(candidates[-1])
+        )
+        print("pose-jitter map:", result)
+        # Measured on the fixture weights (2026-08-20): road 0.9389,
+        # crosswalk 0.9594, lane 0.8680, miou 0.9221, missing 0.0 —
+        # lane drops 0.013 IoU vs the clean bag (thin-structure cost),
+        # road/crosswalk are unchanged.  At these magnitudes (sub-cell
+        # displacement) multi-view fusion votes the jitter away.
+        assert result["iou"]["road"] >= 0.87, result
+        assert result["iou"]["crosswalk"] >= 0.90, result
+        assert result["iou"]["lane"] >= 0.78, result
+        assert result["miou"] >= 0.86, result
+        assert result["missing_rate"] <= 0.02, result
+
     def test_float64_host_reference_matches_device_map(self, golden_bag):
         """f64 numpy reference of the whole post-network pipeline vs the
         device pipeline: semantic images captured off the bus, then f64
