@@ -36,6 +36,7 @@ slow on the TPU backend): build the bag CPU-side first, then probe —
 from __future__ import annotations
 
 import json
+import os
 import os.path as osp
 import sys
 import tempfile
@@ -97,7 +98,7 @@ def build_bag(path: str, hz: float, horizon_s: float, quality: int):
     for k in range(n_msgs):
         t = k / hz
         i = k % n_frames
-        if k % int(hz) == 0:  # clouds at ~1 Hz like a real reduced_map
+        if k % max(1, round(hz)) == 0:  # clouds at ~1 Hz like a real reduced_map
             msgs.append((
                 "/reduced_map",
                 PointCloud2Msg(
@@ -164,6 +165,11 @@ def main() -> None:
     )
     from vision_semantic_segmentation_tpu.runtime.tuning import init_variables
 
+    if "--build-bag" in argv and bag_arg and osp.exists(bag_arg):
+        # an explicit rebuild request wins over reuse (parameters may
+        # have changed); without this, --build-bag on an existing path
+        # silently reused the stale bag and ran the full probe instead
+        os.remove(bag_arg)
     if bag_arg and osp.exists(bag_arg):
         # Reuse a prebuilt bag.  Build it in a CPU-only process first
         # (JAX_PLATFORMS=cpu probe_online_stream.py --bag P --build-bag):

@@ -25,6 +25,11 @@ the driver with a different recipe — it retrains ONLY the still-missing
 points (finished rows resume from the JSONL):
 
     ... run_serving_sweep.py --train-lr 1.5e-3 --train-steps 600
+
+Per-point weights persist as FILES under --scene-dir keyed by
+backbone/stride/scale only — after editing train_segmenter itself,
+clear --scene-dir (or point at a fresh one) so stale weights don't
+short-circuit the retrain.
 """
 from __future__ import annotations
 
@@ -75,6 +80,12 @@ def main():
                     help="override the trainer's lr for points that still "
                          "need a quality row (rescue knob — see docstring)")
     ap.add_argument("--fps-only", action="store_true")
+    ap.add_argument("--allow-partial", action="store_true",
+                    help="write the artifact even when some points have no "
+                         "quality row (it is marked partial + the missing "
+                         "points listed); default refuses, so a failed "
+                         "point cannot silently overwrite the committed "
+                         "complete frontier")
     args = ap.parse_args()
 
     import jax
@@ -83,8 +94,8 @@ def main():
 
     from vision_semantic_segmentation_tpu.config import get_cfg_defaults
     from vision_semantic_segmentation_tpu.runtime.serving_pareto import (
-        SceneArtifacts, default_points, pareto, point_key, score_quality,
-        serving_overlay_yaml, sweep_fps, write_json,
+        SceneArtifacts, default_points, generate_windows, pareto, point_key,
+        score_quality, serving_overlay_yaml, sweep_fps, write_json,
     )
 
     cfg = get_cfg_defaults()
@@ -93,12 +104,16 @@ def main():
     print(f"sweep: {len(points)} points; resumed {len(fps_done)} fps rows, "
           f"{len(q_done)} quality rows", flush=True)
 
-    # --- fps phase: one point at a time so each row lands in the JSONL
+    # --- fps phase: one point at a time so each row lands in the JSONL;
+    # the frame windows are identical across points — build them once
+    windows = None
     for point in points:
         if point_key(point) in fps_done:
             continue
+        if windows is None:
+            windows = generate_windows(cfg, (1440, 1920), 16, 2)
         row = sweep_fps(cfg, [point], image_hw=(1440, 1920), window=16,
-                        n_windows=2, repeats=3,
+                        n_windows=2, repeats=3, windows=windows,
                         log=lambda m: print(m, flush=True))[0]
         append_progress(args.progress, "fps", row)
         fps_done[point_key(point)] = row
@@ -130,8 +145,19 @@ def main():
         append_progress(args.progress, "quality", row)
         q_done[point_key(point)] = row
 
+    missing = [point_key(pt) for pt in points if point_key(pt) not in q_done]
+    if missing and not args.allow_partial:
+        print("REFUSING to write artifact: quality rows missing for "
+              f"{len(missing)} point(s): {missing}\n"
+              "Re-run with a rescue recipe (--train-lr/--train-steps) to "
+              "fill them, or pass --allow-partial to write a marked "
+              "partial frontier.", flush=True)
+        sys.exit(3)
     result = pareto(list(fps_done.values()), list(q_done.values()),
                     quality_budget=args.budget)
+    if missing:
+        result["partial"] = True
+        result["missing_quality_points"] = [list(k) for k in missing]
     print(f"wrote {write_json(result, args.json)}", flush=True)
     if result["recommended"] is not None:
         r = result["recommended"]

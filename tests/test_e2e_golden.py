@@ -113,12 +113,18 @@ def golden_bag(tmp_path_factory):
     # silently pass: every downstream test gates map IoU on these weights.
     # Disable with VSS_TEST_WEIGHT_CACHE=0 (or point it elsewhere).
     import hashlib
+    import inspect
     import shutil
 
     cache_dir = os.environ.get("VSS_TEST_WEIGHT_CACHE", "/tmp/vss_test_weights")
     cached = None
     if cache_dir != "0":
-        h = hashlib.sha256(b"golden|resnet18|os16|steps300|recipe-r05")
+        # Key = training inputs + call args + the trainer's own source:
+        # an edit to train_segmenter (lr default, gate logic, ...) must
+        # invalidate the cache by itself — a hand-maintained recipe tag
+        # alone silently reuses pre-change weights (review finding).
+        h = hashlib.sha256(b"golden|resnet18|os16|steps300")
+        h.update(inspect.getsource(train_segmenter).encode())
         for a in (*small_imgs, *small_labels, *val_imgs, *val_labels):
             h.update(np.ascontiguousarray(a).tobytes())
         cached = osp.join(cache_dir, f"golden_{h.hexdigest()[:20]}.npz")

@@ -251,7 +251,10 @@ class TestStreamTimedPlayback:
             cfg, str(path), rate=50.0, predictor=predictor,
             finalize=False, decode_ahead=True,
         )
-        assert report.published == 12
+        # 4 x (pcd + pose + img) + the bag's /tf message (decode-ahead
+        # surfaces /tf since the dual-camera/TF coverage fix)
+        assert report.published == 13
+        assert report.processed.get("map:/tf", 0) == 1
         seg_in = report.processed.get("seg:/camera1/image_raw", 0) + \
             report.drops.get("seg:/camera1/image_raw", 0)
         assert seg_in == 4
@@ -327,6 +330,113 @@ class TestStreamBagFrames:
         assert not any(
             t.name == "bag-decoder" for t in threading.enumerate()
         ), "decoder thread still alive after the consumer closed"
+
+    def _make_dualcam_bag(self, path, rng, n_frames=3):
+        """camera1 + camera6 images per stamp, plus one /tf record."""
+        from test_rosbag import _pc2
+        from vision_semantic_segmentation_tpu.runtime.rosbag import (
+            Header,
+            ImageMsg,
+            PoseStampedMsg,
+            TFMessageMsg,
+            TransformStampedMsg,
+            write_bag,
+        )
+
+        msgs = [(
+            "/tf",
+            TFMessageMsg([
+                TransformStampedMsg(
+                    Header(0, 10.0, "/base_link"), "/camera6",
+                    np.array([0.5, -0.2, 1.4]),
+                    np.array([0.0, 0.0, 0.0, 1.0]),
+                )
+            ]),
+            10.0,
+        )]
+        pts = rng.random((4, 40)).astype(np.float32)
+        for i in range(n_frames):
+            stamp = 10.0 + i
+            msgs.append(("/reduced_map", _pc2(stamp, "/world", pts), stamp))
+            msgs.append((
+                "/current_pose",
+                PoseStampedMsg(
+                    Header(i, stamp, "/world"),
+                    np.array([1.0 * i, 2.0, 0.0]),
+                    np.array([0.0, 0.0, 0.0, 1.0]),
+                ),
+                stamp,
+            ))
+            for cam in ("camera1", "camera6"):
+                img = (rng.random((8, 12, 3)) * 255).astype(np.uint8)
+                msgs.append((
+                    f"/{cam}/image_raw",
+                    ImageMsg(Header(i, stamp, cam), 8, 12, "rgb8", img),
+                    stamp,
+                ))
+        write_bag(str(path), msgs)
+
+    def test_dual_camera_and_tf_stream(self, rng, tmp_path):
+        """image_topics= streams BOTH cameras through one pass (each
+        FrameRecord tagged with its camera) and with_tf surfaces the /tf
+        record — the decode-ahead feed must not silently drop camera6 or
+        dynamic extrinsics (dual-camera coverage, ref mapping.py:528-541)."""
+        from vision_semantic_segmentation_tpu.runtime.bag_adapter import (
+            TFRecord,
+            stream_bag_frames,
+        )
+
+        path = tmp_path / "dual.bag"
+        self._make_dualcam_bag(path, rng, n_frames=3)
+        got = list(stream_bag_frames(
+            str(path),
+            image_topics=["/camera1/image_raw", "/camera6/image_raw"],
+            with_tf=True,
+        ))
+        tfs = [g for g in got if isinstance(g, TFRecord)]
+        frames = [g for g in got if not isinstance(g, TFRecord)]
+        assert len(tfs) == 1
+        assert tfs[0].msg.transforms[0].child_frame_id == "/camera6"
+        assert [f.camera for f in frames].count("camera1") == 3
+        assert [f.camera for f in frames].count("camera6") == 3
+        # single-topic default is unchanged (camera1 only, no TF)
+        solo = list(stream_bag_frames(str(path)))
+        assert len(solo) == 3 and all(f.camera == "camera1" for f in solo)
+
+    def test_play_stream_timed_dual_camera_topics_and_tf_tree(
+        self, rng, tmp_path
+    ):
+        """The timed streamed player publishes each camera on its own
+        topic, applies /tf to the tree, republishes it on the bus, and
+        publishes each distinct cloud once (not once per paired frame)."""
+        from vision_semantic_segmentation_tpu.runtime.async_bus import (
+            play_stream_timed,
+        )
+        from vision_semantic_segmentation_tpu.utils.ros_compat import (
+            TransformTree,
+        )
+
+        path = tmp_path / "dual.bag"
+        self._make_dualcam_bag(path, rng, n_frames=3)
+        bus = TopicBus()
+        got = {"cam1": [], "cam6": [], "tf": [], "pcd": []}
+        bus.subscribe("/camera1/image_raw", lambda m: got["cam1"].append(m.frame_id))
+        bus.subscribe("/camera6/image_raw", lambda m: got["cam6"].append(m.frame_id))
+        bus.subscribe("/tf", lambda m: got["tf"].append(m.data))
+        bus.subscribe("/reduced_map", lambda m: got["pcd"].append(m.data))
+        tree = TransformTree()
+        play_stream_timed(
+            str(path), bus, rate=100.0,
+            image_topics=["/camera1/image_raw", "/camera6/image_raw"],
+            tf_tree=tree,
+        )
+        assert got["cam1"] == ["camera1"] * 3
+        assert got["cam6"] == ["camera6"] * 3
+        assert len(got["tf"]) == 1
+        assert tree.lookup("base_link", "camera6") is not None
+        # 3 identical cloud objects in the bag -> streamed pairing reuses
+        # one decoded cloud per stamp; each DISTINCT array publishes once
+        assert 1 <= len(got["pcd"]) <= 3
 
 
 class TestOnlineCLI:
@@ -527,12 +637,12 @@ class TestRunOnlineFused:
         assert done + dropped == 3
 
         # --decode-ahead: worker-thread decode feed, same topology and
-        # accounting (3 topics x 3 synced frames, no /tf republish)
+        # accounting (3 topics x 3 synced frames + the /tf republish)
         report = main([
             "pipeline", "--cfg", cfg_path, "--bag", str(bag),
             "--rate", "30", "--fused", "--decode-ahead",
         ])
-        assert report.published == 9
+        assert report.published == 10
         assert report.processed.get("fused:/current_pose", 0) == 3
         done = report.processed.get("fused:/camera1/image_raw", 0)
         dropped = report.drops.get("fused:/camera1/image_raw", 0)

@@ -346,6 +346,74 @@ class TestTrainLrPassthrough:
         assert "quality_floor" not in seen
 
 
+class TestSweepDriverPartialGuard:
+    def _run_driver(self, tmp_path, monkeypatch, extra_argv=()):
+        """Drive scripts/run_serving_sweep.py main() with the sweep
+        functions faked: 2 points, fps rows canned, quality PERMANENTLY
+        failing for point #2 — the r05 failure mode where a collapse
+        must not let a partial frontier overwrite the committed one."""
+        import importlib
+        import sys as _sys
+
+        from vision_semantic_segmentation_tpu.runtime import serving_pareto as sp
+
+        pts = [
+            {"backbone": "resnet18", "output_stride": 16,
+             "image_scale": 1.0, "upsample_pred": False},
+            {"backbone": "resnet18", "output_stride": 16,
+             "image_scale": 0.5, "upsample_pred": False},
+        ]
+        monkeypatch.setattr(sp, "default_points", lambda: [dict(p) for p in pts])
+        monkeypatch.setattr(sp, "generate_windows", lambda *a, **k: ["w"])
+        monkeypatch.setattr(
+            sp, "sweep_fps",
+            lambda cfg, points, **kw: [dict(points[0], fps=10.0)],
+        )
+        monkeypatch.setattr(sp, "SceneArtifacts", lambda *a, **k: object())
+
+        def fake_quality(scene, point, **kw):
+            if point["image_scale"] == 0.5:
+                raise RuntimeError("deterministic training collapse")
+            return dict(point, miou=0.9, iou={"road": 0.9},
+                        missing_rate=0.0, train_s=1.0)
+
+        monkeypatch.setattr(sp, "score_quality", fake_quality)
+
+        _sys.path.insert(0, "/root/repo/scripts")
+        try:
+            driver = importlib.import_module("run_serving_sweep")
+        finally:
+            _sys.path.pop(0)
+        art = tmp_path / "pareto.json"
+        argv = ["run_serving_sweep.py",
+                "--progress", str(tmp_path / "progress.jsonl"),
+                "--scene-dir", str(tmp_path / "scene"),
+                "--json", str(art),
+                "--out", str(tmp_path / "rec.yaml"), *extra_argv]
+        monkeypatch.setattr(_sys, "argv", argv)
+        return driver, art
+
+    def test_refuses_partial_artifact_by_default(self, tmp_path, monkeypatch):
+        driver, art = self._run_driver(tmp_path, monkeypatch)
+        with pytest.raises(SystemExit) as ei:
+            driver.main()
+        assert ei.value.code == 3
+        assert not art.exists(), "partial frontier must not be written"
+
+    def test_allow_partial_marks_the_artifact(self, tmp_path, monkeypatch):
+        import json as _json
+
+        driver, art = self._run_driver(
+            tmp_path, monkeypatch, extra_argv=["--allow-partial"]
+        )
+        driver.main()
+        data = _json.loads(art.read_text())
+        assert data["partial"] is True
+        assert data["missing_quality_points"] == [
+            ["resnet18", 16, 0.5, False]
+        ]
+
+
 class TestScoreQualityOnTinyScene:
     @pytest.mark.slow
     def test_quality_row_mechanics(self, tmp_path):

@@ -515,6 +515,22 @@ def train_segmenter(
             f"{max_steps} steps; saving anyway (score will reflect it)"
         )
     if quality_floor is not None:
+        # Re-measure at the FINAL params over one full batch cycle: the
+        # carried per-batch stats above can be up to len(batches)-1
+        # steps stale (and were computed with older params), so the
+        # floor must not assert on them.  step() computes its confusion
+        # at pre-update params, so discarding the returned state gives a
+        # clean read of exactly the weights being saved.
+        agg = None
+        for b in batches:
+            _, m = step(state, b)
+            conf = np.asarray(m["confusion"])
+            agg = conf if agg is None else agg + conf
+        acc = float(np.trace(agg) / max(agg.sum(), 1.0))
+        recalls = {
+            c: float(agg[c, c] / agg[c].sum())
+            for c in mapped_classes if agg[c].sum() > 0
+        }
         acc_floor, recall_floor = quality_floor
         floor_recalls = [recalls.get(c, 0.0) for c in mapped_classes]
         assert acc >= acc_floor and min(floor_recalls) >= recall_floor, (

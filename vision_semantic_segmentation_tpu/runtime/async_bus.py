@@ -241,6 +241,8 @@ def play_stream_timed(
     pose_topic: str = "/current_pose",
     lookahead_s: float = 0.5,
     max_buffered: int = 16,
+    image_topics=None,
+    tf_tree=None,
 ) -> PlaybackReport:
     """Timed playback with DECODE AHEAD: the streamed twin of
     :func:`play_bag_timed`.
@@ -257,49 +259,70 @@ def play_stream_timed(
     timeline the queue runs dry and the lateness still shows in
     ``max_lag_s`` — the accounting is the same, only the overlap differs.
 
-    Trade-off vs :func:`play_bag_timed`: frames are published
-    POST-sync (an image that never acquires a cloud+pose within
-    ``lookahead_s`` is not published at all), and only the three mapped
-    topics flow — /tf and other topics are not surfaced.
+    ``image_topics`` streams several cameras (dual-camera bags, each
+    frame published on its own ``/<camera>/image_raw``); ``tf_tree``
+    applies /tf records (also republished on the bus), feeding the
+    dynamic camera-extrinsics path exactly like :func:`play_bag_timed`.
+
+    Trade-off vs :func:`play_bag_timed`: frames are published POST-sync
+    (an image that never acquires a cloud+pose within ``lookahead_s`` is
+    not published at all), and unmapped topics are not surfaced.
     """
-    from .bag_adapter import stream_bag_frames
+    from .bag_adapter import TFRecord, stream_bag_frames
 
     assert rate > 0, "rate must be positive"
     report = PlaybackReport(rate=rate)
     wall0 = None
     stamp0 = None
-    last = None
+    horizon = None  # running max stamp (same guard as play_bag_timed:
+    # streams interleave, so a backward header stamp publishes at the
+    # current timeline position with no sleep and no lag charged)
+    last_pcd = None
     for f in stream_bag_frames(
         bag_path, image_topic=image_topic, pcd_topic=pcd_topic,
         pose_topic=pose_topic, lookahead_s=lookahead_s,
-        max_buffered=max_buffered,
+        max_buffered=max_buffered, image_topics=image_topics,
+        with_tf=tf_tree is not None,
     ):
+        if isinstance(f, TFRecord):
+            for tr in f.msg.transforms:
+                tf_tree.set_pose(
+                    tr.translation, tr.rotation,
+                    parent=tr.header.frame_id.lstrip("/"),
+                    child=tr.child_frame_id.lstrip("/"),
+                    stamp=tr.header.stamp,
+                )
+            bus.publish("/tf", f.msg, stamp=f.stamp)
+            report.published += 1
+            continue
         now = time.monotonic()
         if wall0 is None:
-            wall0, stamp0 = now, f.stamp
-        due = wall0 + (f.stamp - stamp0) / rate
-        if due > now:
-            time.sleep(due - now)
-        else:
-            report.max_lag_s = max(report.max_lag_s, now - due)
-        bus.publish(pcd_topic, f.pcd, stamp=f.stamp, frame_id=f.pcd_frame_id)
+            wall0, stamp0, horizon = now, f.stamp, f.stamp
+        if f.stamp > horizon:
+            horizon = f.stamp
+            due = wall0 + (f.stamp - stamp0) / rate
+            if due > now:
+                time.sleep(due - now)
+            else:
+                report.max_lag_s = max(report.max_lag_s, now - due)
+        if f.pcd is not last_pcd:
+            # clouds arrive ~1 Hz vs a 12 Hz camera; publish each once
+            # (matching play_bag_timed's native-rate cloud stream), not
+            # once per paired frame
+            bus.publish(pcd_topic, f.pcd, stamp=f.stamp, frame_id=f.pcd_frame_id)
+            last_pcd = f.pcd
+            report.published += 1
         bus.publish(pose_topic, (f.position, f.quaternion), stamp=f.stamp)
         bus.publish(
-            image_topic, f.semantic_image, stamp=f.stamp,
-            frame_id=f.camera or _camera_of(image_topic),
+            f"/{f.camera}/image_raw", f.semantic_image, stamp=f.stamp,
+            frame_id=f.camera,
         )
-        report.published += 3
-        last = f.stamp
-    report.bag_duration_s = (last - stamp0) if stamp0 is not None else 0.0
+        report.published += 2
+    report.bag_duration_s = (horizon - stamp0) if stamp0 is not None else 0.0
     report.wall_duration_s = (
         (time.monotonic() - wall0) if wall0 is not None else 0.0
     )
     return report
-
-
-def _camera_of(topic: str) -> str:
-    part = topic.lstrip("/").split("/", 1)[0]
-    return part or "camera1"
 
 
 def run_online(
@@ -367,7 +390,19 @@ def run_online(
         execs = [("seg", seg_exec), ("map", map_exec)]
 
     if decode_ahead:
-        report = play_stream_timed(bag_path, bus, rate=rate)
+        # stream BOTH configured cameras and /tf so the decode-ahead feed
+        # matches play_bag_timed's coverage (dual-camera + dynamic
+        # extrinsics), not just the camera1 fast path
+        from .bag_adapter import _camera_of_topic
+
+        report = play_stream_timed(
+            bag_path, bus, rate=rate,
+            image_topics=[
+                f"/{_camera_of_topic(t)}/image_raw"
+                for t in mapping_node.IMAGE_TOPICS
+            ],
+            tf_tree=tf_tree,
+        )
     else:
         report = play_bag_timed(bag_path, bus, rate=rate)
     for _, ex in execs:

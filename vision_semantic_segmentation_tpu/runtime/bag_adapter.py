@@ -18,7 +18,7 @@ nearest-stamp sync keys on) and fall back to the bag record time.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -34,12 +34,26 @@ from .rosbag import (
 
 __all__ = [
     "play_bag", "play_bag_records", "bag_to_frames", "stream_bag_frames",
-    "DEFAULT_TOPIC_MAP",
+    "TFRecord", "DEFAULT_TOPIC_MAP",
 ]
 
 
 class _ConsumerGone(BaseException):
     """The stream_bag_frames consumer abandoned the generator."""
+
+
+class TFRecord:
+    """A /tf (tf2_msgs/TFMessage) record surfaced by stream_bag_frames.
+
+    Emitted as soon as the worker reads it — at or before its bag
+    position relative to the frames, never late — so consumers can apply
+    transforms before the frames that depend on them."""
+
+    __slots__ = ("stamp", "msg")
+
+    def __init__(self, stamp: float, msg):
+        self.stamp = stamp
+        self.msg = msg
 
 # The reference's launch files republish the AVT camera topics to
 # /<camera>/image_raw (ref scripts/launch/camera1_mapping.launch:13-15);
@@ -145,6 +159,8 @@ def stream_bag_frames(
     pose_topic: str = "/current_pose",
     lookahead_s: float = 0.5,
     max_buffered: int = 16,
+    image_topics: Optional[Sequence[str]] = None,
+    with_tf: bool = False,
 ):
     """Stream synced FrameRecords from a bag, decoding on a worker thread.
 
@@ -162,17 +178,27 @@ def stream_bag_frames(
     ``image_stamp + lookahead_s`` have been seen, then paired with the
     nearest of each).
 
-    Yields FrameRecord.  The worker dies with the consumer (daemon +
-    generator close), and reader errors re-raise at the consumption site.
+    ``image_topics`` streams SEVERAL cameras through one pass — each
+    FrameRecord carries its own ``camera``, frames interleave in stamp
+    order (the dual-camera path, ref mapping.py:528-541); it overrides
+    ``image_topic`` when given.  ``with_tf=True`` additionally yields
+    :class:`TFRecord` items for ``/tf`` / ``/tf_static`` messages,
+    feeding the dynamic camera-extrinsics path (ref mapping.py:142-163).
+
+    Yields FrameRecord (and TFRecord when enabled).  The worker dies
+    with the consumer (daemon + generator close), and reader errors
+    re-raise at the consumption site.
     """
     import queue as _queue
     import threading
 
     from .io import FrameRecord
 
-    wanted = {image_topic, pcd_topic, pose_topic}
+    img_topics = tuple(image_topics) if image_topics else (image_topic,)
+    tf_topics = ("/tf", "/tf_static") if with_tf else ()
+    wanted = {*img_topics, pcd_topic, pose_topic, *tf_topics}
     aliases = {t: v for t, v in DEFAULT_TOPIC_MAP.items() if v in wanted}
-    camera = _camera_of_topic(DEFAULT_TOPIC_MAP.get(image_topic, image_topic))
+    camera_of = {t: _camera_of_topic(t) for t in img_topics}
     out: "_queue.Queue" = _queue.Queue(maxsize=max(1, int(max_buffered)))
     _DONE = object()
     stop = threading.Event()
@@ -199,12 +225,21 @@ def stream_bag_frames(
     def worker():
         owner: Dict[str, str] = {}
         images, clouds, poses = [], [], []
+        # nearest() returns the same cloud object for many consecutive
+        # frames (clouds arrive ~1 Hz vs a 12 Hz camera): unpack each
+        # PointCloud2 once, not once per paired frame
+        memo = {"cloud": None, "xyzi": None}
+
+        def cloud_xyzi(cloud):
+            if memo["cloud"] is not cloud:
+                memo["cloud"], memo["xyzi"] = cloud, cloud.xyzi()
+            return memo["xyzi"]
 
         def flush(horizon: Optional[float]) -> None:
             """Emit images whose lookahead window is fully covered (or
             everything at EOF when horizon is None)."""
             while images:
-                stamp, img = images[0]
+                stamp, img, cam = images[0]
                 if horizon is not None and (
                     not clouds or clouds[-1][0] < stamp + lookahead_s
                     or not poses or poses[-1][0] < stamp + lookahead_s
@@ -216,12 +251,12 @@ def stream_bag_frames(
                 cloud = nearest(clouds, stamp)[1]
                 pose = nearest(poses, stamp)[1]
                 if not put(FrameRecord(
-                    pcd=cloud.xyzi(),
+                    pcd=cloud_xyzi(cloud),
                     pcd_frame_id=cloud.header.frame_id.lstrip("/") or "world",
                     semantic_image=img.rgb(),
                     position=np.asarray(pose.position),
                     quaternion=np.asarray(pose.quaternion),
-                    camera=camera,
+                    camera=cam,
                     stamp=stamp,
                 )):
                     raise _ConsumerGone
@@ -243,14 +278,17 @@ def stream_bag_frames(
                 msg = rec.message
                 stamp = getattr(msg, "header", None)
                 stamp = (stamp.stamp if stamp else 0.0) or rec.stamp
-                if target == image_topic and isinstance(
+                if target in camera_of and isinstance(
                     msg, (ImageMsg, CompressedImageMsg)
                 ):
-                    images.append((stamp, msg))
+                    images.append((stamp, msg, camera_of[target]))
                 elif target == pcd_topic and isinstance(msg, PointCloud2Msg):
                     clouds.append((stamp, msg))
                 elif target == pose_topic and isinstance(msg, PoseStampedMsg):
                     poses.append((stamp, msg))
+                elif with_tf and isinstance(msg, TFMessageMsg):
+                    if not put(TFRecord(stamp, msg)):
+                        raise _ConsumerGone
                 flush(horizon=stamp)
             flush(horizon=None)
             put(_DONE)

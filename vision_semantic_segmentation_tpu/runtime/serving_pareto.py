@@ -93,6 +93,7 @@ def sweep_fps(
     repeats: int = 3,
     camera: str = "camera1",
     log=None,
+    windows=None,
 ) -> List[Dict]:
     """Time the fused production runner at every operating point.
 
@@ -100,12 +101,17 @@ def sweep_fps(
     points (the workload is identical; only the network program changes).
     Model variables are random-init per (backbone, stride) — timing is
     weight-independent — and cached across scale/upsample variants.
+
+    ``windows`` injects a prebuilt :func:`generate_windows` result so a
+    caller that times points one at a time (the resumable sweep driver)
+    pays window generation once, not once per point.
     """
     from ..mapping.engine import SemanticMappingEngine
     from .pipeline import FusedFramePipeline
     from .tuning import _resolve_distortion
 
-    windows = generate_windows(cfg, image_hw, window, n_windows)
+    if windows is None:
+        windows = generate_windows(cfg, image_hw, window, n_windows)
     vars_cache: Dict[Tuple, object] = {}
     rows = []
     for point in points:
